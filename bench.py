@@ -1,0 +1,84 @@
+"""Benchmark: QAT ResNet-50 @ ILSVRC-12 training throughput (images/sec/chip).
+
+Per BASELINE.json, the headline metric is images/sec/chip for QAT ResNet-50.
+vs_baseline normalizes against an A100 TF1-graph QAT ResNet-50 reference
+estimate (~750 img/s/GPU); the north-star target is >=3x that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_TF_QAT_RESNET50_IMG_PER_SEC = 750.0
+
+BATCH_SIZE = int(os.environ.get('BENCH_BATCH_SIZE', '256'))
+N_WARMUP = 5
+N_TIMED = 20
+
+
+def main():
+    import pocketflow_tpu  # noqa: F401
+    from pocketflow_tpu.config import FLAGS
+    FLAGS.override(synthetic_data=True, compute_dtype='bfloat16',
+                   summ_step=10 ** 9, save_step=10 ** 9)
+
+    from pocketflow_tpu.nets.resnet_at_ilsvrc12 import ModelHelper
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+
+    qat = True
+    try:
+        from pocketflow_tpu.learners.uniform_quantization.learner import UniformQuantLearner
+    except ImportError:
+        qat = False
+
+    with FLAGS.scope(batch_size=BATCH_SIZE, batch_size_eval=BATCH_SIZE,
+                     nb_smpls_train=4096, nb_smpls_eval=512, nb_epochs_rat=1.0):
+        helper = ModelHelper(resnet_size=50)
+        if qat:
+            learner = UniformQuantLearner(None, helper)
+            state, tx, _ = learner.init_state_quant()
+            train_step = learner.build_quant_train_step(tx)
+        else:
+            learner = FullPrecLearner(None, helper)
+            state, tx, _ = learner.init_state()
+            train_step = learner.build_train_step(tx)
+
+        iterator = learner.dataset_train.build()
+        batch = next(iterator)
+        rng = jax.random.PRNGKey(0)
+
+        # compile + warmup
+        state, metrics = train_step(state, batch, rng)
+        jax.block_until_ready(metrics)
+        for i in range(N_WARMUP):
+            state, metrics = train_step(state, next(iterator), jax.random.fold_in(rng, i))
+        jax.block_until_ready(metrics)
+
+        start = time.perf_counter()
+        for i in range(N_TIMED):
+            state, metrics = train_step(state, next(iterator), jax.random.fold_in(rng, 100 + i))
+        jax.block_until_ready(metrics)
+        elapsed = time.perf_counter() - start
+
+    n_chips = max(1, len(jax.devices()))
+    imgs_per_sec_per_chip = BATCH_SIZE * N_TIMED / elapsed / n_chips
+    print(json.dumps({
+        'metric': 'images/sec/chip (%s ResNet-50 @ 224, bf16, bs=%d)'
+                  % ('QAT' if qat else 'full-prec', BATCH_SIZE),
+        'value': round(imgs_per_sec_per_chip, 2),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(imgs_per_sec_per_chip / A100_TF_QAT_RESNET50_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

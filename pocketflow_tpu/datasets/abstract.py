@@ -1,0 +1,189 @@
+"""Abstract dataset: host-side pipeline feeding the TPU, augmentation on device.
+
+Rebuild of /root/reference/datasets/abstract_dataset.py:35-111.  The reference
+pipeline is tf.data: file list -> shard(nb_workers, rank) -> parallel_interleave
+-> map(parse_fn) -> [take/skip split] -> shuffle_and_repeat -> batch -> prefetch.
+
+TPU-native redesign:
+* the host side only shuffles/batches raw records (cheap, NumPy, background
+  thread prefetch) — every worker shards by `jax.process_index()` exactly like
+  the reference shards by Horovod rank (abstract_dataset.py:80-81);
+* *all* per-pixel work (normalize, pad-crop-flip, resize) happens on device
+  inside the jitted train step via the dataset's `augment` function, so the
+  augmentation rides the VPU instead of host CPUs and the batch transfers as
+  uint8 (4x less PCIe/DMA traffic than float32).
+
+Per-dataset sample counts / class counts / batch sizes live in a
+`DatasetSpec`; the reference's flags of the same names (nb_classes,
+nb_smpls_train, batch_size, ...) are honored as overrides when set.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, replace
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from pocketflow_tpu.config import FLAGS
+
+# Reference defines these once per dataset module at import; here they are
+# central overrides (None = use the dataset's own spec defaults).
+FLAGS.DEFINE_integer('nb_classes', None, '# of classes (override)')
+FLAGS.DEFINE_integer('nb_smpls_train', None, '# of samples for training (override)')
+FLAGS.DEFINE_integer('nb_smpls_val', None, '# of samples for validation (override)')
+FLAGS.DEFINE_integer('nb_smpls_eval', None, '# of samples for evaluation (override)')
+FLAGS.DEFINE_integer('batch_size', None, 'batch size per chip for training (override)')
+FLAGS.DEFINE_integer('batch_size_eval', None, 'batch size for evaluation (override)')
+FLAGS.DEFINE_string('data_dir_local', None, 'data directory - local')
+
+
+@dataclass(frozen=True)
+class DatasetSpec:
+    name: str
+    nb_classes: int
+    nb_smpls_train: int
+    nb_smpls_val: int
+    nb_smpls_eval: int
+    batch_size: int
+    batch_size_eval: int
+    image_shape: Tuple[int, int, int]  # H, W, C
+
+    def with_flag_overrides(self) -> 'DatasetSpec':
+        updates = {}
+        for field in ('nb_classes', 'nb_smpls_train', 'nb_smpls_val',
+                      'nb_smpls_eval', 'batch_size', 'batch_size_eval'):
+            value = FLAGS.get(field)
+            if value is not None:
+                updates[field] = int(value)
+        return replace(self, **updates) if updates else self
+
+
+class _Prefetcher:
+    """Background-thread prefetch of host batches (reference: .prefetch())."""
+
+    def __init__(self, gen_fn, depth: int):
+        self._gen = gen_fn()
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        for item in self._gen:
+            self._q.put(item)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+
+class AbstractDataset(ABC):
+    """Base dataset: subclasses load (or synthesize) arrays and define augment."""
+
+    SPEC: DatasetSpec = None  # set by subclasses
+
+    def __init__(self, is_train: bool):
+        self.is_train = is_train
+        self.spec = self.SPEC.with_flag_overrides()
+        # Shard across processes for multi-host DP, like the reference shards
+        # the file list across Horovod ranks (abstract_dataset.py:80-81).
+        self.shard_id = jax.process_index()
+        self.nb_shards = jax.process_count()
+        self.batch_size = self.spec.batch_size if is_train else self.spec.batch_size_eval
+        self._rng = np.random.default_rng(FLAGS.rand_seed + 977 * self.shard_id
+                                          + (0 if is_train else 31337))
+
+    # -- subclass interface ---------------------------------------------------
+
+    @abstractmethod
+    def _load_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (images, labels) for this subset as host arrays.
+
+        Images are uint8 NHWC; labels int32.  When real data files are absent
+        and --synthetic_data is set, subclasses return `synthesize_arrays()`.
+        """
+
+    def augment(self, images: jax.Array, rng: jax.Array, is_train: bool) -> jax.Array:
+        """On-device normalize + augment; jittable. Default: scale to [0,1]."""
+        del rng, is_train
+        return images.astype(np.float32) / 255.0
+
+    # -- synthetic fallback ---------------------------------------------------
+
+    def synthesize_arrays(self, nb_smpls: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Deterministic learnable synthetic data: per-class Gaussian blobs.
+
+        Class-dependent low-frequency patterns let tiny models reach high
+        accuracy within a few hundred steps, which the test-suite uses the way
+        the reference uses FMNIST smoke runs (docs/docs/test_cases.md).
+        """
+        spec = self.spec
+        n = nb_smpls or (spec.nb_smpls_train if self.is_train else spec.nb_smpls_eval)
+        h, w, c = spec.image_shape
+        # bound host memory: cap the synthetic set by a total-pixel budget
+        n = max(64, min(n, 8192, (1 << 28) // (h * w * c)))
+        rng = np.random.default_rng(12345 + (0 if self.is_train else 1))
+        labels = rng.integers(0, spec.nb_classes, size=(n,), dtype=np.int32)
+        # class-dependent sinusoid pattern (vectorized, float32)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        fx = (labels % 4 + 1).astype(np.float32)[:, None, None]
+        fy = (labels // 4 % 4 + 1).astype(np.float32)[:, None, None]
+        base = 127.5 + 80.0 * np.sin(
+            2 * np.pi * (fx * xx[None] / w + fy * yy[None] / h), dtype=np.float32)
+        noise = rng.standard_normal(size=(n, h, w, 1), dtype=np.float32) * 16.0
+        images = base[..., None] + noise  # broadcast over channels
+        images = np.broadcast_to(images, (n, h, w, c))
+        return np.clip(images, 0, 255).astype(np.uint8), labels
+
+    # -- pipeline -------------------------------------------------------------
+
+    def build(self, enbl_trn_val_split: bool = False):
+        """Build batch iterator(s); mirrors AbstractDataset.build (:55-94).
+
+        Returns one iterator, or (train_iter, val_iter) when splitting.
+        Iterators yield dict batches {'image': uint8 [B,H,W,C], 'label': int32 [B]}.
+        """
+        if not hasattr(self, '_cached_arrays'):
+            self._cached_arrays = self._load_arrays()
+        images, labels = self._cached_arrays
+        self.nb_smpls_loaded = len(images)
+        # shard by process (multi-host)
+        if self.nb_shards > 1 and self.is_train:
+            images = images[self.shard_id::self.nb_shards]
+            labels = labels[self.shard_id::self.nb_shards]
+        if enbl_trn_val_split:
+            nb_val = min(self.spec.nb_smpls_val, len(images) // 5)
+            val = self._make_iterator(images[:nb_val], labels[:nb_val], shuffle=False)
+            trn = self._make_iterator(images[nb_val:], labels[nb_val:], shuffle=self.is_train)
+            return trn, val
+        return self._make_iterator(images, labels, shuffle=self.is_train)
+
+    def _make_iterator(self, images: np.ndarray, labels: np.ndarray,
+                       shuffle: bool) -> Iterator[Dict[str, np.ndarray]]:
+        batch_size = self.batch_size
+        rng = self._rng
+
+        def gen():
+            n = len(images)
+            order = np.arange(n)
+            pos = 0
+            while True:
+                if pos + batch_size > n:
+                    pos = 0
+                    if shuffle:
+                        rng.shuffle(order)
+                idx = order[pos:pos + batch_size]
+                pos += batch_size
+                yield {'image': images[idx], 'label': labels[idx]}
+
+        return _Prefetcher(gen, depth=max(2, FLAGS.prefetch_size))
+
+    @property
+    def nb_batches_eval(self) -> int:
+        return -(-self.spec.nb_smpls_eval // self.spec.batch_size_eval)

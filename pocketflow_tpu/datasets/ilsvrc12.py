@@ -1,0 +1,60 @@
+"""ILSVRC-12 (ImageNet) dataset (rebuild of /root/reference/datasets/ilsvrc12_dataset.py:39-127).
+
+The reference consumes TFRecords with Inception-style bbox-aware preprocessing.
+This rebuild reads a directory of pre-decoded `.npy` shards (created by the
+companion `tools/convert_ilsvrc12.py` converter from TFRecord/ImageFolder data)
+or falls back to deterministic synthetic data at 224x224 for benchmarks/tests.
+
+Train preproc = random-area crop + resize + flip; eval = 87.5% center crop —
+both on device (datasets/augment.py), matching the reference's Inception
+pipeline semantics (utils/external/{preprocessing}).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Tuple
+
+import numpy as np
+
+from pocketflow_tpu.config import FLAGS
+from pocketflow_tpu.datasets import augment
+from pocketflow_tpu.datasets.abstract import AbstractDataset, DatasetSpec
+
+IMAGENET_MEAN = (123.675, 116.28, 103.53)
+IMAGENET_STD = (58.395, 57.12, 57.375)
+
+
+class Ilsvrc12Dataset(AbstractDataset):
+    # nb_classes = 1001 (class 0 = background) matching the reference
+    SPEC = DatasetSpec(
+        name='ilsvrc_12', nb_classes=1001,
+        nb_smpls_train=1281167, nb_smpls_val=10000, nb_smpls_eval=50000,
+        batch_size=64, batch_size_eval=100, image_shape=(224, 224, 3))
+
+    def _load_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        data_dir = FLAGS.get('data_dir_local')
+        subset = 'train' if self.is_train else 'val'
+        if data_dir and os.path.isdir(data_dir):
+            img_shards = sorted(glob.glob(os.path.join(data_dir, '%s_images_*.npy' % subset)))
+            lbl_shards = sorted(glob.glob(os.path.join(data_dir, '%s_labels_*.npy' % subset)))
+            if img_shards:
+                images = np.concatenate([np.load(p, mmap_mode='r') for p in img_shards])
+                labels = np.concatenate([np.load(p) for p in lbl_shards]).astype(np.int32)
+                return images, labels
+        return self.synthesize_arrays(nb_smpls=2048)
+
+    def augment(self, images, rng, is_train):
+        if is_train:
+            import jax
+            k_crop, k_flip = jax.random.split(rng)
+            out_hw = self.spec.image_shape[:2]
+            if images.shape[1:3] != tuple(out_hw):
+                images = augment.random_crop_resize(images, k_crop, out_hw)
+            images = augment.random_flip_lr(images, k_flip)
+        else:
+            out_hw = self.spec.image_shape[:2]
+            if images.shape[1:3] != tuple(out_hw):
+                images = augment.center_crop_resize(images, out_hw)
+        return augment.normalize(images, IMAGENET_MEAN, IMAGENET_STD)

@@ -1,0 +1,308 @@
+"""Abstract learner: lifecycle + the shared jitted train/eval machinery.
+
+Rebuild of /root/reference/learners/abstract_learner.py:41-158.  The reference
+learner builds *two TF graphs* (train + eval) with separate sessions and moves
+weights between them through checkpoint round-trips; every concrete learner
+re-implements a sess.run train loop.  Here the state is one explicit pytree
+(`TrainState`) and both modes are pure functions of it, so the whole train
+step — forward, compression policy, loss, backward, all-reduce, update —
+compiles to a single XLA program (`jit` over the global mesh, batch sharded on
+the "data" axis, params replicated; XLA inserts the gradient psum that Horovod's
+DistributedOptimizer used to do in C++).
+"""
+
+from __future__ import annotations
+
+import os
+from abc import ABC, abstractmethod
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pocketflow_tpu.config import FLAGS
+from pocketflow_tpu.core import checkpoint as ckpt_lib
+from pocketflow_tpu.core import mesh as mesh_lib
+from pocketflow_tpu.core.metrics import ProgressMonitor, SummaryWriter, get_logger
+from pocketflow_tpu.nn.layers import CompressionPolicy
+
+
+@struct.dataclass
+class TrainState:
+    """The whole training state as one pytree (replicated across the mesh)."""
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    extra: Any = None  # learner-specific state (masks, quant scales, codebooks…)
+
+
+class AbstractLearner(ABC):
+    """Lifecycle (`train` / `evaluate`) + shared functional train-loop pieces."""
+
+    def __init__(self, sm_writer: Optional[SummaryWriter], model_helper):
+        self.sm_writer = sm_writer
+        self.model_helper = model_helper
+        self.log = get_logger()
+
+        mesh_lib.distributed_init()
+        self.mesh = mesh_lib.global_mesh()
+
+        # function interface provided by the model helper (reference :76-88)
+        self.build_dataset_train = model_helper.build_dataset_train
+        self.build_dataset_eval = model_helper.build_dataset_eval
+        self.forward_train = model_helper.forward_train
+        self.forward_eval = model_helper.forward_eval
+        self.calc_loss = model_helper.calc_loss
+        self.setup_lrn_rate = model_helper.setup_lrn_rate
+        self.warm_start = model_helper.warm_start
+        self.dump_n_eval = model_helper.dump_n_eval
+        self.model_name = model_helper.model_name
+        self.dataset_name = model_helper.dataset_name
+        self.forward_w_labels = model_helper.forward_w_labels
+
+        self.ckpt_file = 'models_%s_at_%s.tar.gz' % (self.model_name, self.dataset_name)
+
+        # datasets & batch geometry
+        self.dataset_train = self.build_dataset_train()
+        self.dataset_eval = self.build_dataset_eval()
+        data_size = self.mesh.shape.get(mesh_lib.DATA_AXIS, 1)
+        self.nb_workers = data_size
+        self.local_data_devices = max(1, data_size // jax.process_count())
+        # per-chip batch from the dataset spec; host batch feeds all local chips
+        self.batch_size_per_chip = self.dataset_train.spec.batch_size
+        self.global_batch_size = self.batch_size_per_chip * data_size
+        self.dataset_train.batch_size = self.batch_size_per_chip * self.local_data_devices
+        # eval runs replicated-form on the same mesh
+        self.dataset_eval.batch_size = (
+            self.dataset_eval.spec.batch_size_eval * self.local_data_devices)
+
+        self.model = model_helper.create_model()
+        self._rng = jax.random.PRNGKey(FLAGS.rand_seed)
+
+        # shardings
+        self.repl_sharding = NamedSharding(self.mesh, P())
+        self.batch_sharding = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    @abstractmethod
+    def train(self):
+        """Train a model and periodically produce checkpoint files."""
+
+    @abstractmethod
+    def evaluate(self):
+        """Restore from the latest checkpoint and measure eval performance."""
+
+    # ------------------------------------------------------------------
+    # shared helpers (used by every concrete learner)
+    # ------------------------------------------------------------------
+
+    def next_rng(self) -> jax.Array:
+        self._rng, key = jax.random.split(self._rng)
+        return key
+
+    def init_state(self, extra: Any = None) -> Tuple[TrainState, optax.GradientTransformation, Any]:
+        """Initialize variables + optimizer; returns (state, tx, lr_schedule).
+
+        The entire init (augment sample -> model.init -> tx.init) runs as ONE
+        jitted program: eager init dispatches thousands of tiny ops, which is
+        pathological when every op triggers a remote compile (axon tunnel).
+        """
+        sample = next(iter_or_self(self.dataset_train.build()))['image'][:2]
+        schedule, self.nb_iters_train = self.setup_lrn_rate(self.global_batch_size)
+        tx = optax.sgd(learning_rate=schedule, momentum=FLAGS.momentum)
+        model = self.model
+        augment = self.dataset_train.augment
+
+        def init_fn(rng, raw_sample):
+            x = augment(raw_sample, jax.random.PRNGKey(0), False)
+            variables = model.init(rng, x, train=False)
+            params = variables['params']
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                batch_stats=dict(variables.get('batch_stats', {})),
+                opt_state=tx.init(params),
+                extra=extra)
+
+        state = jax.jit(init_fn, out_shardings=self.repl_sharding)(
+            self.next_rng(), jnp.asarray(sample))
+        return state, tx, schedule
+
+    def build_train_step(self, tx: optax.GradientTransformation,
+                         policy_fn: Optional[Callable[[Any], Optional[CompressionPolicy]]] = None,
+                         loss_extra_fn: Optional[Callable] = None,
+                         grad_transform_fn: Optional[Callable] = None,
+                         post_update_fn: Optional[Callable] = None):
+        """Build the fused jitted train step.
+
+        * policy_fn(extra)        -> CompressionPolicy for this step (or None)
+        * loss_extra_fn(state, outputs, images, labels) -> (extra_loss, extra_metrics)
+          (distillation, discrimination-aware heads, ...)
+        * grad_transform_fn(grads, extra) -> grads  (masked gradients)
+        * post_update_fn(state)   -> state          (mask refresh, schedules)
+        """
+        helper = self.model_helper
+        model = self.model
+        augment = self.dataset_train.augment
+
+        def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+            images = augment(batch['image'], rng, True)
+            labels = batch['label']
+            policy = policy_fn(state) if policy_fn is not None else None
+
+            def loss_fn(params):
+                variables = {'params': params, 'batch_stats': state.batch_stats}
+                outputs, new_mstate = helper.forward_train(
+                    model, variables, images, policy=policy,
+                    labels=labels if self.forward_w_labels else None)
+                loss, metrics = helper.calc_loss(labels, outputs, params)
+                if loss_extra_fn is not None:
+                    extra_loss, extra_metrics = loss_extra_fn(state, outputs, images, labels)
+                    loss = loss + extra_loss
+                    metrics = {**metrics, **extra_metrics}
+                return loss, (metrics, new_mstate.get('batch_stats', state.batch_stats))
+
+            grads, (metrics, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+            if grad_transform_fn is not None:
+                grads = grad_transform_fn(grads, state)
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            state = state.replace(
+                step=state.step + 1, params=new_params,
+                batch_stats=new_batch_stats, opt_state=new_opt_state)
+            if post_update_fn is not None:
+                state = post_update_fn(state)
+            metrics = dict(metrics)
+            return state, metrics
+
+        return jax.jit(
+            step_fn,
+            in_shardings=(self.repl_sharding, self.batch_sharding, self.repl_sharding),
+            out_shardings=(self.repl_sharding, self.repl_sharding),
+            donate_argnums=(0,))
+
+    def build_eval_step(self, policy_fn=None):
+        helper = self.model_helper
+        model = self.model
+        augment = self.dataset_eval.augment
+
+        def step_fn(state: TrainState, batch):
+            images = augment(batch['image'], jax.random.PRNGKey(0), False)
+            labels = batch['label']
+            policy = policy_fn(state) if policy_fn is not None else None
+            variables = {'params': state.params, 'batch_stats': state.batch_stats}
+            outputs = helper.forward_eval(model, variables, images, policy=policy)
+            loss, metrics = helper.calc_loss(labels, outputs, state.params)
+            return {'loss': loss, **metrics}
+
+        return jax.jit(
+            step_fn,
+            in_shardings=(self.repl_sharding, self.batch_sharding),
+            out_shardings=self.repl_sharding)
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+
+    def run_train_loop(self, state: TrainState, train_step, nb_iters: Optional[int] = None,
+                       save_path: Optional[str] = None, eval_fn=None,
+                       iterator: Optional[Iterator] = None,
+                       log_prefix: str = 'train') -> TrainState:
+        """The hot loop (reference full_precision/learner.py:57-89)."""
+        nb_iters = nb_iters if nb_iters is not None else self.nb_iters_train
+        save_path = save_path or FLAGS.save_path
+        iterator = iterator if iterator is not None else self.dataset_train.build()
+        monitor = ProgressMonitor(
+            self.sm_writer if self.is_primary_worker() else None,
+            self.dataset_train.batch_size, jax.process_count(), prefix=log_prefix)
+        base_rng = self.next_rng()
+
+        start = int(jax.device_get(state.step))
+        for idx_iter in range(start, nb_iters):
+            batch = next(iterator)
+            rng = jax.random.fold_in(base_rng, idx_iter)
+            state, metrics = train_step(state, batch, rng)
+            if (idx_iter + 1) % FLAGS.summ_step == 0:
+                host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()
+                                if np.ndim(v) == 0}
+                monitor.report(idx_iter + 1, FLAGS.summ_step, host_metrics)
+            if (idx_iter + 1) % FLAGS.save_step == 0 and self.is_primary_worker():
+                self.save_model(state, save_path)
+                if eval_fn is not None:
+                    eval_fn(state)
+        if self.is_primary_worker():
+            self.save_model(state, save_path)
+        self.auto_barrier()
+        return state
+
+    def run_eval_loop(self, state: TrainState, eval_step, nb_batches: Optional[int] = None,
+                      log_prefix: str = 'eval') -> Dict[str, float]:
+        iterator = self.dataset_eval.build()
+        if nb_batches is None:
+            nb_smpls = getattr(self.dataset_eval, 'nb_smpls_loaded',
+                               self.dataset_eval.spec.nb_smpls_eval)
+            nb_batches = max(1, nb_smpls // self.dataset_eval.batch_size)
+        totals: Dict[str, float] = {}
+        for _ in range(nb_batches):
+            metrics = jax.device_get(eval_step(state, next(iterator)))
+            for key, value in metrics.items():
+                if np.ndim(value) == 0:
+                    totals[key] = totals.get(key, 0.0) + float(value)
+        means = {k: v / nb_batches for k, v in totals.items()}
+        self.log.info('%s: %s', log_prefix,
+                      ' | '.join('%s = %.4f' % kv for kv in means.items()))
+        return means
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+
+    def save_model(self, state: TrainState, save_path: Optional[str] = None) -> str:
+        save_path = save_path or FLAGS.save_path
+        step = int(jax.device_get(state.step))
+        path = ckpt_lib.save(save_path, state, step)
+        self.log.info('model saved to %s', path)
+        return path
+
+    def restore_model(self, target_state: TrainState,
+                      save_path: Optional[str] = None) -> Optional[TrainState]:
+        save_path = save_path or FLAGS.save_path
+        restored = ckpt_lib.restore_latest(save_path, target_state)
+        if restored is not None:
+            self.log.info('model restored from %s',
+                          ckpt_lib.latest_checkpoint(os.path.dirname(save_path) or '.'))
+        return restored
+
+    def download_model(self):
+        """Reference downloads pretrained tarballs via wget (:105-125); the TPU
+        rebuild is offline — only verifies a local checkpoint exists."""
+        if ckpt_lib.latest_checkpoint(os.path.dirname(FLAGS.save_path) or '.') is None:
+            raise FileNotFoundError(
+                'no local pre-trained model under %s (offline build: train a '
+                'full-prec baseline first)' % os.path.dirname(FLAGS.save_path))
+
+    # ------------------------------------------------------------------
+    # distributed helpers (reference :127-148)
+    # ------------------------------------------------------------------
+
+    def auto_barrier(self):
+        mesh_lib.auto_barrier()
+
+    @classmethod
+    def is_primary_worker(cls, scope: str = 'global') -> bool:
+        return mesh_lib.is_primary_worker(scope)
+
+
+def iter_or_self(built):
+    """build() may return iterator or (train_iter, val_iter)."""
+    if isinstance(built, tuple):
+        return built[0]
+    return built

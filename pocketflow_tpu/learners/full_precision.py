@@ -1,0 +1,49 @@
+"""Full-precision learner: trains/evaluates the uncompressed baseline.
+
+Rebuild of /root/reference/learners/full_precision/learner.py:33-228.  This is
+the template learner: one fused jitted train step (forward + loss [+ KD] +
+backward + cross-chip gradient mean + SGD update), a host loop that only feeds
+batches and logs, and an eval loop over the evaluation subset.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from pocketflow_tpu.config import FLAGS
+from pocketflow_tpu.learners.abstract_learner import AbstractLearner, TrainState
+
+
+class FullPrecLearner(AbstractLearner):
+    """Full-precision baseline learner."""
+
+    def __init__(self, sm_writer, model_helper, enbl_dst: Optional[bool] = None):
+        super().__init__(sm_writer, model_helper)
+        self.enbl_dst = FLAGS.enbl_dst if enbl_dst is None else enbl_dst
+        self.helper_dst = None
+        if self.enbl_dst:
+            from pocketflow_tpu.learners.distillation_helper import DistillationHelper
+            self.helper_dst = DistillationHelper(model_helper)
+
+    def train(self) -> TrainState:
+        state, tx, _ = self.init_state()
+        if FLAGS.enbl_warm_start:
+            state = self.warm_start(state)
+        loss_extra = self.helper_dst.loss_extra_fn() if self.helper_dst else None
+        train_step = self.build_train_step(tx, loss_extra_fn=loss_extra)
+        eval_step = self.build_eval_step()
+        state = self.run_train_loop(
+            state, train_step,
+            eval_fn=lambda s: self.run_eval_loop(s, eval_step))
+        self.run_eval_loop(state, eval_step)
+        return state
+
+    def evaluate(self):
+        state, _, _ = self.init_state()
+        restored = self.restore_model(state)
+        if restored is None:
+            raise FileNotFoundError('no checkpoint found under ' + FLAGS.save_path)
+        eval_step = self.build_eval_step()
+        return self.run_eval_loop(restored, eval_step)

@@ -1,0 +1,119 @@
+"""ResNet modules (basic + bottleneck), NHWC / bf16-compute / MXU-friendly.
+
+Covers the backbones the reference wraps from `utils/external/resnet_model.py`
+(official TF ResNet): ResNet-20/32/44/56 for CIFAR-10 and ResNet-18/34/50 for
+ILSVRC-12 (block-size table at /root/reference/nets/resnet_at_ilsvrc12.py:36-58).
+Built from PFConv/BatchNorm so every conv participates in compression policies.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pocketflow_tpu.nn import BatchNorm, PFConv, global_avg_pool, max_pool, relu
+from pocketflow_tpu.nn.layers import PFDense
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        shortcut = x
+        y = PFConv(self.features, (3, 3), self.strides, use_bias=False,
+                   dtype=self.dtype, name='conv1')(x)
+        y = BatchNorm(dtype=self.dtype, name='bn1')(y, use_running_average=not train)
+        y = relu(y)
+        y = PFConv(self.features, (3, 3), use_bias=False, dtype=self.dtype, name='conv2')(y)
+        y = BatchNorm(dtype=self.dtype, name='bn2')(y, use_running_average=not train)
+        if shortcut.shape != y.shape:
+            shortcut = PFConv(self.features, (1, 1), self.strides, use_bias=False,
+                              dtype=self.dtype, name='conv_sc')(shortcut)
+            shortcut = BatchNorm(dtype=self.dtype, name='bn_sc')(
+                shortcut, use_running_average=not train)
+        return relu(y + shortcut)
+
+
+class BottleneckBlock(nn.Module):
+    features: int  # bottleneck width; output = 4x
+    strides: Tuple[int, int] = (1, 1)
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        shortcut = x
+        y = PFConv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name='conv1')(x)
+        y = BatchNorm(dtype=self.dtype, name='bn1')(y, use_running_average=not train)
+        y = relu(y)
+        y = PFConv(self.features, (3, 3), self.strides, use_bias=False,
+                   dtype=self.dtype, name='conv2')(y)
+        y = BatchNorm(dtype=self.dtype, name='bn2')(y, use_running_average=not train)
+        y = relu(y)
+        y = PFConv(4 * self.features, (1, 1), use_bias=False, dtype=self.dtype, name='conv3')(y)
+        y = BatchNorm(dtype=self.dtype, name='bn3')(y, use_running_average=not train)
+        if shortcut.shape != y.shape:
+            shortcut = PFConv(4 * self.features, (1, 1), self.strides, use_bias=False,
+                              dtype=self.dtype, name='conv_sc')(shortcut)
+            shortcut = BatchNorm(dtype=self.dtype, name='bn_sc')(
+                shortcut, use_running_average=not train)
+        return relu(y + shortcut)
+
+
+class ResNetCifar(nn.Module):
+    """ResNet-(6n+2) for CIFAR: 3 stages x n blocks, widths 16/32/64."""
+    nb_blocks: int  # n = (size - 2) / 6
+    nb_classes: int = 10
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = PFConv(16, (3, 3), use_bias=False, dtype=self.dtype, name='conv_init')(x)
+        x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
+        x = relu(x)
+        for stage, width in enumerate((16, 32, 64)):
+            for block in range(self.nb_blocks):
+                strides = (2, 2) if (stage > 0 and block == 0) else (1, 1)
+                x = BasicBlock(width, strides, self.dtype,
+                               name='stage%d_block%d' % (stage + 1, block))(x, train)
+        x = global_avg_pool(x)
+        x = PFDense(self.nb_classes, dtype=self.dtype, name='fc')(x)
+        return x.astype(jnp.float32)
+
+
+# block-size table (reference resnet_at_ilsvrc12.py:36-58)
+IMAGENET_CONFIGS = {
+    18: (BasicBlock, (2, 2, 2, 2)),
+    34: (BasicBlock, (3, 4, 6, 3)),
+    50: (BottleneckBlock, (3, 4, 6, 3)),
+    101: (BottleneckBlock, (3, 4, 23, 3)),
+    152: (BottleneckBlock, (3, 8, 36, 3)),
+}
+
+
+class ResNetImageNet(nn.Module):
+    """ResNet-v1 for ILSVRC-12 (7x7 stem, 4 stages)."""
+    resnet_size: int = 50
+    nb_classes: int = 1001
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        block_cls, stage_sizes = IMAGENET_CONFIGS[self.resnet_size]
+        x = PFConv(64, (7, 7), (2, 2), use_bias=False, dtype=self.dtype, name='conv_init')(x)
+        x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
+        x = relu(x)
+        x = max_pool(x, (3, 3), (2, 2), padding='SAME')
+        for stage, nb_blocks in enumerate(stage_sizes):
+            width = 64 * (2 ** stage)
+            for block in range(nb_blocks):
+                strides = (2, 2) if (stage > 0 and block == 0) else (1, 1)
+                x = block_cls(width, strides, self.dtype,
+                              name='stage%d_block%d' % (stage + 1, block))(x, train)
+        x = global_avg_pool(x)
+        x = PFDense(self.nb_classes, dtype=self.dtype, name='fc')(x)
+        return x.astype(jnp.float32)

@@ -1,0 +1,259 @@
+"""Layers with compression interception points.
+
+The reference implements compression by *rewriting the TF graph*: it walks
+Conv2D/MatMul ops, splices fake-quant nodes onto weights and activations, and
+reroutes inputs via `tf.contrib.graph_editor`
+(/root/reference/learners/uniform_quantization/utils.py:81-199).  That whole
+mechanism is unnecessary in JAX: the forward pass is a pure function, so we
+interpose on weights/activations *at trace time* through a
+`CompressionPolicy` installed in a dynamic context.
+
+Every learner expresses itself as a policy:
+
+* weight sparsification  -> ``process_weight`` multiplies by a mask,
+* uniform quantization   -> ``process_weight``/``process_act`` run fake-quant
+  Pallas kernels with STE,
+* non-uniform quantization -> ``process_weight`` snaps to a learned codebook,
+* channel pruning        -> ``process_weight`` zeroes pruned channels.
+
+The policy receives the layer's path (e.g. ``model/conv2/kernel``) so
+per-layer hyper-parameters (bits, prune ratios, codebooks) — which are traced
+JAX arrays living in the learner's state pytree — resolve statically by name.
+
+Layer set mirrors what PocketFlow's model zoo needs: Conv2D, depthwise conv,
+dense, batch-norm, pooling.  All tensors are NHWC (TPU-native layout); params
+are fp32, compute dtype is configurable (bf16 default) to keep the MXU fed.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# Compression policy context
+# ---------------------------------------------------------------------------
+
+
+class CompressionPolicy:
+    """Base (identity) policy; learners subclass and override the hooks."""
+
+    def _next_act_index(self) -> int:
+        """Trace-order counter for activation sites (reset per forward trace
+        because the train step constructs a fresh policy per trace)."""
+        idx = getattr(self, '_act_counter', 0)
+        self._act_counter = idx + 1
+        return idx
+
+    def reset_trace(self):
+        self._act_counter = 0
+
+    def process_weight(self, path: str, kernel: jax.Array) -> jax.Array:
+        """Transform a conv/dense kernel before it is used (quant/mask/prune)."""
+        return kernel
+
+    def process_act(self, path: str, act: jax.Array) -> jax.Array:
+        """Transform a layer's output activation (activation fake-quant)."""
+        return act
+
+    def process_input(self, path: str, x: jax.Array) -> jax.Array:
+        """Transform a layer's input (input-side channel masking)."""
+        return x
+
+
+_POLICY_STACK = []
+
+
+@contextlib.contextmanager
+def compression(policy: Optional[CompressionPolicy]):
+    """Install `policy` for the duration of a forward trace."""
+    if policy is not None:
+        policy.reset_trace()
+    _POLICY_STACK.append(policy)
+    try:
+        yield policy
+    finally:
+        _POLICY_STACK.pop()
+
+
+def current_policy() -> Optional[CompressionPolicy]:
+    return _POLICY_STACK[-1] if _POLICY_STACK else None
+
+
+def _apply_weight_hooks(module: nn.Module, kernel: jax.Array) -> jax.Array:
+    policy = current_policy()
+    if policy is None:
+        return kernel
+    return policy.process_weight(_path_of(module), kernel)
+
+
+def _apply_act_hooks(module: nn.Module, act: jax.Array) -> jax.Array:
+    policy = current_policy()
+    if policy is None:
+        return act
+    return policy.process_act(_path_of(module), act)
+
+
+def _apply_input_hooks(module: nn.Module, x: jax.Array) -> jax.Array:
+    policy = current_policy()
+    if policy is None:
+        return x
+    return policy.process_input(_path_of(module), x)
+
+
+def _path_of(module: nn.Module) -> str:
+    return '/'.join(module.path)
+
+
+def relu(x: jax.Array) -> jax.Array:
+    """ReLU with a post-activation interception point.
+
+    The reference inserts activation fake-quant *after* the nonlinearity
+    (uniform_quantization/utils.py:52-80: Relu/Relu6/Tanh... outputs get the
+    quant node) because that is where int tensors materialize at deployment.
+    Activation sites are identified by trace order ('act/<idx>'), which is
+    deterministic under jit.
+    """
+    y = jax.nn.relu(x)
+    policy = current_policy()
+    if policy is not None:
+        y = policy.process_act('act/%d' % policy._next_act_index(), y)
+    return y
+
+
+def relu6(x: jax.Array) -> jax.Array:
+    y = jnp.minimum(jax.nn.relu(x), 6.0)
+    policy = current_policy()
+    if policy is not None:
+        y = policy.process_act('act/%d' % policy._next_act_index(), y)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Layers
+# ---------------------------------------------------------------------------
+
+Dtype = Any
+
+
+class PFConv(nn.Module):
+    """2D convolution (NHWC) with weight/activation interception.
+
+    Kernel layout HWIO; maps onto the MXU via lax.conv_general_dilated.
+    """
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = 'SAME'
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    kernel_init: Callable = nn.initializers.variance_scaling(2.0, 'fan_out', 'truncated_normal')
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            'kernel', self.kernel_init,
+            (*self.kernel_size, in_features, self.features), jnp.float32)
+        x = _apply_input_hooks(self, x)
+        kernel = _apply_weight_hooks(self, kernel)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=self.strides, padding=self.padding,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        y = _apply_act_hooks(self, y)
+        return y.astype(self.dtype)
+
+
+class PFDepthwiseConv(nn.Module):
+    """Depthwise 2D convolution (channel multiplier 1), as in MobileNet."""
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = 'SAME'
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+    kernel_init: Callable = nn.initializers.variance_scaling(2.0, 'fan_out', 'truncated_normal')
+
+    @nn.compact
+    def __call__(self, x):
+        channels = x.shape[-1]
+        # HWIO with I=1, O=channels and feature_group_count=channels.
+        kernel = self.param(
+            'kernel', self.kernel_init, (*self.kernel_size, 1, channels), jnp.float32)
+        x = _apply_input_hooks(self, x)
+        kernel = _apply_weight_hooks(self, kernel)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=self.strides, padding=self.padding,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            feature_group_count=channels)
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros, (channels,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        y = _apply_act_hooks(self, y)
+        return y.astype(self.dtype)
+
+
+class PFDense(nn.Module):
+    """Dense layer with weight/activation interception."""
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param('kernel', self.kernel_init,
+                            (x.shape[-1], self.features), jnp.float32)
+        x = _apply_input_hooks(self, x)
+        kernel = _apply_weight_hooks(self, kernel)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        y = _apply_act_hooks(self, y)
+        return y.astype(self.dtype)
+
+
+class BatchNorm(nn.Module):
+    """Batch normalization; running stats live in the `batch_stats` collection.
+
+    Under pjit data parallelism the batch mean/var are global (cross-chip)
+    reductions — XLA inserts the collectives — i.e. sync-BN semantics, a strict
+    improvement over the reference's per-GPU BN.
+    """
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.997
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            'use_running_average', self.use_running_average, use_running_average)
+        return nn.BatchNorm(
+            use_running_average=ura, momentum=self.momentum, epsilon=self.epsilon,
+            dtype=self.dtype, param_dtype=jnp.float32, name='bn')(x)
+
+
+def max_pool(x, window: Tuple[int, int] = (2, 2), strides: Optional[Tuple[int, int]] = None,
+             padding: str = 'VALID'):
+    strides = strides or window
+    return nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
+
+
+def avg_pool(x, window: Tuple[int, int] = (2, 2), strides: Optional[Tuple[int, int]] = None,
+             padding: str = 'VALID'):
+    strides = strides or window
+    return nn.avg_pool(x, window_shape=window, strides=strides, padding=padding)
+
+
+def global_avg_pool(x):
+    return jnp.mean(x, axis=(1, 2))
