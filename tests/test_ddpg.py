@@ -1,0 +1,91 @@
+"""DDPG agent convergence test on the Move-to-target environment.
+
+Mirrors the reference's RL unit-test strategy (SURVEY.md §4.2 / reference
+rl_agents/unit_tests/move_to_target.py): the environment has optimum total
+reward 0 (start |x| <= ~17, each perfect rollout loses nothing), so a trained
+agent's rollout reward must be dramatically better than a random one.
+"""
+
+import numpy as np
+import pytest
+
+from pocketflow_tpu.config import FLAGS
+from pocketflow_tpu.rl_agents.ddpg.agent import DdpgAgent
+from pocketflow_tpu.rl_agents.envs import MoveToTargetEnv, PendulumEnv
+
+
+def _run_rollout(env, agent, rlout_len, noisy=True, train=False):
+    state = env.reset()
+    rewards = []
+    for _ in range(rlout_len):
+        action = agent.actions_noisy(state) if noisy else agent.actions_clean(state)
+        state_next, reward = env.step(action)
+        if train:
+            agent.record(state, action, reward, np.zeros((1, 1)), state_next)
+            agent.train()
+        rewards.append(float(reward))
+        state = state_next
+    return rewards
+
+
+@pytest.mark.slow
+def test_ddpg_move_to_target_converges():
+    nb_rlouts, rlout_len, nb_dims = 60, 40, 2
+    env = MoveToTargetEnv(nb_dims=nb_dims, seed=0)
+    with FLAGS.scope(ddpg_noise_prtl='tdecy', ddpg_noise_type='param',
+                     ddpg_noise_std_init=0.5, ddpg_batch_size=64):
+        agent = DdpgAgent(s_dims=nb_dims, a_dims=nb_dims, nb_rlouts=nb_rlouts,
+                          buf_size=rlout_len * nb_rlouts // 8,
+                          a_min=-1.0, a_max=1.0, seed=0)
+        agent.init()
+        rewards = []
+        for _ in range(nb_rlouts):
+            agent.init_rlout()
+            step_rewards = _run_rollout(env, agent, rlout_len, noisy=True, train=True)
+            agent.finalize_rlout(step_rewards)
+            rewards.append(sum(step_rewards))
+        # evaluate with the clean policy
+        eval_rewards = [sum(_run_rollout(env, agent, rlout_len, noisy=False))
+                        for _ in range(5)]
+    # optimal = 0; untrained/noisy early rollouts are typically < -40.
+    assert np.mean(eval_rewards) > -12.0, (np.mean(eval_rewards), rewards[:5])
+
+
+def test_ddpg_train_noop_until_buffer_full():
+    with FLAGS.scope(ddpg_batch_size=4):
+        agent = DdpgAgent(s_dims=2, a_dims=1, nb_rlouts=10, buf_size=16, seed=0)
+        agent.init()
+        assert agent.train() == (0.0, 0.0, agent.noise_spec.stdev_curr)
+        for _ in range(16):
+            agent.record(np.zeros((1, 2)), np.zeros((1, 1)), np.zeros((1, 1)),
+                         np.zeros((1, 1)), np.ones((1, 2)))
+        actor_loss, critic_loss, _ = agent.train()
+        assert np.isfinite(actor_loss) and np.isfinite(critic_loss)
+
+
+def test_ddpg_actions_within_bounds():
+    agent = DdpgAgent(s_dims=3, a_dims=2, nb_rlouts=10, buf_size=8,
+                      a_min=0.2, a_max=0.9, seed=1)
+    agent.init()
+    agent.init_rlout()
+    acts = agent.actions_clean(np.random.randn(5, 3).astype(np.float32))
+    assert acts.shape == (5, 2)
+    assert acts.min() >= 0.2 and acts.max() <= 0.9
+
+
+def test_noise_spec_decay():
+    with FLAGS.scope(ddpg_noise_std_init=1.0, ddpg_noise_std_finl=1e-5):
+        from pocketflow_tpu.rl_agents.ddpg.agent import NoiseSpec
+        spec = NoiseSpec('tdecy', 100)
+        for _ in range(100):
+            spec.adapt()
+        assert np.isclose(spec.stdev_curr, 1e-5, rtol=1e-3)
+
+
+def test_pendulum_env_dynamics():
+    env = PendulumEnv(seed=0)
+    obs = env.reset()
+    assert obs.shape == (1, 3)
+    obs, reward = env.step(np.asarray([[0.5]]))
+    assert obs.shape == (1, 3) and reward.shape == (1, 1)
+    assert float(reward) <= 0.0
