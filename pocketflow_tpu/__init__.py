@@ -36,3 +36,6 @@ except Exception:  # pragma: no cover - cache is best-effort
 
 from pocketflow_tpu.config import FLAGS  # noqa: F401
 from pocketflow_tpu.datasets import abstract as _dataset_flags  # noqa: F401  (registers flags)
+from pocketflow_tpu.learners import register_all_flags as _register_all_flags
+
+_register_all_flags()  # full reference flag surface available before CLI parse

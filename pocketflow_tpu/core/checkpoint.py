@@ -78,3 +78,21 @@ def restore_latest(save_path: str, target: Any) -> Optional[Any]:
     if path is None:
         return None
     return restore(path, target)
+
+
+def restore_fields(save_path: str, targets: dict) -> Optional[dict]:
+    """Restore only the named top-level TrainState fields from the newest
+    checkpoint next to `save_path` (e.g. {'params': ..., 'batch_stats': ...}).
+
+    This is the cross-learner transport: a compression learner warm-starts
+    from the FullPrec baseline even though its own opt_state/extra trees have
+    different structures — the analogue of the reference's variable-scope
+    renamed restores (distillation_helper.py:122-145).
+    """
+    path = latest_checkpoint(os.path.dirname(save_path) or '.')
+    if path is None:
+        return None
+    with open(path, 'rb') as fin:
+        raw = serialization.msgpack_restore(fin.read())
+    return {key: serialization.from_state_dict(target, raw[key])
+            for key, target in targets.items()}

@@ -281,6 +281,34 @@ class AbstractLearner(ABC):
                           ckpt_lib.latest_checkpoint(os.path.dirname(save_path) or '.'))
         return restored
 
+    def copy_state(self, state: TrainState) -> TrainState:
+        """Deep-copy a TrainState's buffers.
+
+        The fused train step donates its input state (zero-copy updates); any
+        state that must survive repeated roll-outs (e.g. the pretrained
+        baseline the RL optimizers re-start from) needs fresh buffers first.
+        """
+        if not hasattr(self, '_copy_jit'):
+            self._copy_jit = jax.jit(
+                lambda s: jax.tree_util.tree_map(lambda x: x + jnp.zeros_like(x), s),
+                out_shardings=self.repl_sharding)
+        return self._copy_jit(state)
+
+    def restore_baseline(self, state: TrainState,
+                         save_path: Optional[str] = None) -> Tuple[TrainState, bool]:
+        """Warm-start params/batch_stats from the pretrained full-precision
+        baseline checkpoint, keeping this learner's own step/opt_state/extra.
+        Returns (state, restored?)."""
+        save_path = save_path or FLAGS.save_path
+        fields = ckpt_lib.restore_fields(
+            save_path, {'params': state.params, 'batch_stats': state.batch_stats})
+        if fields is None:
+            return state, False
+        fields = jax.device_put(fields, self.repl_sharding)
+        self.log.info('baseline params restored from %s',
+                      ckpt_lib.latest_checkpoint(os.path.dirname(save_path) or '.'))
+        return state.replace(**fields), True
+
     def download_model(self):
         """Reference downloads pretrained tarballs via wget (:105-125); the TPU
         rebuild is offline — only verifies a local checkpoint exists."""

@@ -1,0 +1,152 @@
+"""Non-uniform (learned codebook) quantization with STE + exact cluster grads.
+
+Numerics match /root/reference/learners/nonuniform_quantization/utils.py:168-433:
+
+    x_norm = (x - min) / (max - min + 1e-10)        (per tensor / per bucket)
+    assign = argmin_j |x_norm - c_j|                (k = 2^bits clusters)
+    q      = alpha * c[assign] + beta
+
+The reference realizes the backward pass with graph-level operator overrides
+(`gradient_override_map({'Mul': 'Add', 'Sign': 'Identity'})`,
+utils.py:304-306) — an opaque trick that rewrites *every* Mul in scope.  Here
+the whole thing is ONE `jax.custom_vjp`:
+
+* d q / d x  = 1                (straight-through estimator), and
+* d q / d c  is the *exact* gather gradient: cluster j accumulates
+  alpha * sum of cotangents of the positions assigned to it
+  (a `segment_sum`, which XLA lowers to an efficient one-pass scatter-add),
+
+so codebooks are ordinary trainable leaves — no variable surgery, no
+assignment ops, and the argmin/gather chain fuses into the surrounding jitted
+train step.
+
+Cluster initialization (utils.py:349-386): 'quantile' (percentiles of the
+normalized weights) or 'uniform' (linspace on [0, 1]).
+
+Bucketing (utils.py:435-477): 'split' reshapes the flattened tensor to
+[bucket_size, nb_buckets] (padding with the last element), 'channel' to
+[-1, c_out]; scaling and codebooks are then per bucket column.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS = 1e-10
+
+
+def _normalize(x2d: jax.Array, per_column: bool):
+    axis = 0 if per_column else None
+    x32 = x2d.astype(jnp.float32)
+    w_max = jax.lax.stop_gradient(jnp.max(x32, axis=axis, keepdims=per_column))
+    w_min = jax.lax.stop_gradient(jnp.min(x32, axis=axis, keepdims=per_column))
+    alpha = w_max - w_min + EPS
+    beta = w_min
+    return (x32 - beta) / alpha, alpha, beta
+
+
+def _assign_and_gather(x_norm: jax.Array, c: jax.Array):
+    """x_norm [n, b], c [k, b] -> (q [n, b], assign [n, b])."""
+    # |x - c| over the cluster axis; k is small (<= 256) so the [n, k, b]
+    # intermediate tiles fine on the VPU and XLA fuses the argmin reduction.
+    diff = jnp.abs(x_norm[:, None, :] - c[None, :, :])
+    assign = jnp.argmin(diff, axis=1)  # [n, b]
+    q = jnp.take_along_axis(c, assign, axis=0)
+    return q, assign
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def nonuniform_quant_2d(x2d: jax.Array, c: jax.Array, per_column: bool) -> jax.Array:
+    """Codebook-quantize a 2-D tensor; c is [k, nb_buckets] (or [k, 1])."""
+    x_norm, alpha, beta = _normalize(x2d, per_column)
+    q, _ = _assign_and_gather(x_norm, c)
+    return (alpha * q + beta).astype(x2d.dtype)
+
+
+def _nuq_fwd(x2d, c, per_column):
+    x_norm, alpha, beta = _normalize(x2d, per_column)
+    q, assign = _assign_and_gather(x_norm, c)
+    out = (alpha * q + beta).astype(x2d.dtype)
+    return out, (assign, alpha, c.shape)
+
+
+def _nuq_bwd(per_column, res, g):
+    assign, alpha, c_shape = res
+    k, b = c_shape
+    g32 = g.astype(jnp.float32)
+    galpha = g32 * alpha  # broadcast: alpha is [1, b] (per-col) or scalar-like
+    # dc[j, col] = sum over rows assigned to j in that column
+    cols = jax.lax.broadcasted_iota(jnp.int32, assign.shape, 1)
+    seg_ids = assign.astype(jnp.int32) * b + cols
+    dc = jax.ops.segment_sum(galpha.reshape(-1), seg_ids.reshape(-1),
+                             num_segments=k * b).reshape(k, b)
+    return g, dc  # STE for x
+
+
+nonuniform_quant_2d.defvjp(_nuq_fwd, _nuq_bwd)
+
+
+# ---------------------------------------------------------------------------
+# shape plumbing: tensor <-> 2-D bucket layout
+# ---------------------------------------------------------------------------
+
+def to_buckets(x: jax.Array, bucket_type: Optional[str],
+               bucket_size: int) -> Tuple[jax.Array, int, bool]:
+    """Reshape to [rows, nb_buckets]; returns (x2d, padded, per_column)."""
+    if bucket_type is None:
+        return x.reshape(-1, 1), 0, False
+    if bucket_type == 'channel':
+        return x.reshape(-1, x.shape[-1]), 0, True
+    if bucket_type == 'split':
+        flat = x.reshape(-1)
+        n = flat.shape[0]
+        nb_buckets = -(-n // bucket_size)
+        pad = nb_buckets * bucket_size - n
+        if pad:
+            flat = jnp.concatenate([flat, jnp.broadcast_to(flat[-1], (pad,))])
+        return flat.reshape(bucket_size, nb_buckets), pad, True
+    raise ValueError('unrecognized bucket type: %r' % (bucket_type,))
+
+
+def from_buckets(q2d: jax.Array, shape, pad: int) -> jax.Array:
+    flat = q2d.reshape(-1)
+    if pad:
+        flat = flat[:-pad]
+    return flat.reshape(shape)
+
+
+def nonuniform_quant(x: jax.Array, c: jax.Array,
+                     bucket_type: Optional[str], bucket_size: int) -> jax.Array:
+    """Quantize any-shape x against codebook c ([k, nb_buckets])."""
+    x2d, pad, per_column = to_buckets(x, bucket_type, bucket_size)
+    q2d = nonuniform_quant_2d(x2d, c, per_column)
+    return from_buckets(q2d, x.shape, pad)
+
+
+# ---------------------------------------------------------------------------
+# codebook initialization (utils.py:349-386)
+# ---------------------------------------------------------------------------
+
+def init_codebook(x: jax.Array, bits: int, init_style: str,
+                  bucket_type: Optional[str], bucket_size: int) -> jax.Array:
+    """[k, nb_buckets] initial clusters from the normalized weights."""
+    k = int(2 ** bits)
+    x2d, _, per_column = to_buckets(x, bucket_type, bucket_size)
+    x_norm, _, _ = _normalize(x2d, per_column)
+    nb_buckets = x2d.shape[1]
+    if init_style == 'uniform':
+        c = jnp.linspace(0.0, 1.0, k)
+        return jnp.broadcast_to(c[:, None], (k, nb_buckets)).astype(jnp.float32)
+    if init_style == 'quantile':
+        qs = jnp.asarray([(i + 1) * 1.0 / (k + 1) for i in range(k)], jnp.float32)
+        axis = 0 if per_column else None
+        c = jnp.quantile(x_norm, qs, axis=axis)  # [k, b] or [k]
+        if c.ndim == 1:
+            c = jnp.broadcast_to(c[:, None], (k, nb_buckets))
+        return c.astype(jnp.float32)
+    raise ValueError('unrecognized init style: %r' % (init_style,))
