@@ -1,0 +1,109 @@
+"""Pascal VOC detection dataset.
+
+Rebuild of /root/reference/datasets/pascalvoc_dataset.py:39-197.  The
+reference parses TFRecords with bbox/difficult/truncated features and packs
+annotations into a fixed [nb_bboxs_max, 8] tensor per image; here labels are
+a fixed [nb_bboxs_max, 6] float array per image:
+
+    [class_id, ymin, xmin, ymax, xmax, valid]     (coords normalized to [0,1])
+
+Real data: a directory of .npz shards with 'images' (uint8 NHWC) and 'boxes'
+(list of [n_i, 5] arrays).  Synthetic fallback: class-colored rectangles on a
+noise background — tiny detectors can overfit it within a few hundred steps,
+giving the test-suite a CPU-runnable detection config (the reference's
+test_cases.md uses full VOC training runs as its gate).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Tuple
+
+import numpy as np
+
+from pocketflow_tpu.config import FLAGS
+from pocketflow_tpu.datasets.abstract import AbstractDataset, DatasetSpec
+
+FLAGS.DEFINE_integer('nb_bboxs_max', 32, 'max # of bounding boxes per image')
+FLAGS.DEFINE_integer('voc_image_size', None,
+                     'override Pascal VOC image size (e.g. 64 for smoke tests)')
+
+VOC_CLASSES = (
+    'aeroplane', 'bicycle', 'bird', 'boat', 'bottle', 'bus', 'car', 'cat',
+    'chair', 'cow', 'diningtable', 'dog', 'horse', 'motorbike', 'person',
+    'pottedplant', 'sheep', 'sofa', 'train', 'tvmonitor')
+
+
+class PascalVocDataset(AbstractDataset):
+    SPEC = DatasetSpec(
+        name='pascalvoc', nb_classes=21,  # 20 classes + background(0)
+        nb_smpls_train=22136, nb_smpls_val=2000, nb_smpls_eval=4952,
+        batch_size=32, batch_size_eval=32, image_shape=(300, 300, 3))
+
+    def __init__(self, is_train: bool):
+        super().__init__(is_train)
+        size = FLAGS.get('voc_image_size')
+        if size:
+            from dataclasses import replace
+            self.spec = replace(self.spec, image_shape=(int(size), int(size), 3))
+
+    def _load_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        data_dir = FLAGS.get('data_dir_local')
+        if data_dir and os.path.isdir(data_dir):
+            pattern = 'train*.npz' if self.is_train else 'val*.npz'
+            paths = sorted(glob.glob(os.path.join(data_dir, pattern)))
+            if paths:
+                return self._parse_npz(paths)
+        return self.synthesize_detection_arrays()
+
+    def _parse_npz(self, paths):
+        images, labels = [], []
+        nb_max = FLAGS.nb_bboxs_max
+        for path in paths:
+            blob = np.load(path, allow_pickle=True)
+            images.append(blob['images'])
+            for boxes in blob['boxes']:
+                padded = np.zeros((nb_max, 6), np.float32)
+                n = min(len(boxes), nb_max)
+                padded[:n, :5] = boxes[:n]
+                padded[:n, 5] = 1.0
+                labels.append(padded)
+        return np.concatenate(images), np.stack(labels)
+
+    def synthesize_detection_arrays(self, nb_smpls=None):
+        """Rectangles whose texture frequency encodes the class."""
+        spec = self.spec
+        n = nb_smpls or (spec.nb_smpls_train if self.is_train else spec.nb_smpls_eval)
+        h, w, c = spec.image_shape
+        n = max(64, min(n, 2048, (1 << 27) // (h * w * c)))
+        nb_max = FLAGS.nb_bboxs_max
+        rng = np.random.default_rng(777 + (0 if self.is_train else 1))
+        images = rng.integers(100, 156, size=(n, h, w, c)).astype(np.uint8)
+        labels = np.zeros((n, nb_max, 6), np.float32)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        for i in range(n):
+            nb_boxes = rng.integers(1, 4)
+            for b in range(nb_boxes):
+                cls = int(rng.integers(1, spec.nb_classes))
+                bh = rng.integers(h // 4, h // 2)
+                bw = rng.integers(w // 4, w // 2)
+                y0 = rng.integers(0, h - bh)
+                x0 = rng.integers(0, w - bw)
+                fx, fy = (cls % 5) + 1, (cls // 5) + 1
+                patch = 127.5 + 120.0 * np.sin(
+                    2 * np.pi * (fx * xx[y0:y0 + bh, x0:x0 + bw] / w
+                                 + fy * yy[y0:y0 + bh, x0:x0 + bw] / h))
+                images[i, y0:y0 + bh, x0:x0 + bw] = np.clip(
+                    patch[..., None], 0, 255).astype(np.uint8)
+                labels[i, b] = [cls, y0 / h, x0 / w, (y0 + bh) / h,
+                                (x0 + bw) / w, 1.0]
+        return images, labels
+
+    def augment(self, images, rng, is_train):
+        # reference uses SSD preprocessing (color jitter + crop); round-1
+        # parity keeps the normalization path (mean-subtract, VGG-style)
+        import jax.numpy as jnp
+        images = images.astype(jnp.float32)
+        mean = jnp.asarray([123.0, 117.0, 104.0][:images.shape[-1]])
+        return images - mean

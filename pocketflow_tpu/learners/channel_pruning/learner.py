@@ -1,0 +1,309 @@
+"""Channel-pruned learner (He et al. ICCV'17 + AMC RL search).
+
+Rebuild of /root/reference/learners/channel_pruning/learner.py:82-701.
+
+Modes (``--cp_prune_option``):
+* ``uniform`` — every prunable conv keeps ``cp_uniform_preserve_ratio`` of its
+  input channels;
+* ``list``    — per-layer preserve ratios from ``cp_prune_list_file``;
+* ``auto``    — AMC: a DDPG agent proposes per-layer preserve ratios under a
+  global FLOPs budget (``cp_preserve_ratio``); reward = accuracy (or the
+  FLOPs-regularized reward) of the pruned model (reference :593-696).
+
+Each layer is pruned with LASSO channel selection + least-squares kernel
+reconstruction (channel_pruner.py), walking layers in graph order so later
+layers see the already-pruned activations — same sequential semantics as the
+reference, but the per-layer solves are jitted ISTA/lstsq programs instead of
+sklearn on the host.  Pruning is "fake" (masked channels stay zero); the
+export tool shrinks kernels physically.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pocketflow_tpu.config import FLAGS
+from pocketflow_tpu.learners.abstract_learner import AbstractLearner, TrainState
+from pocketflow_tpu.learners.channel_pruning import channel_pruner as cp_lib
+from pocketflow_tpu.learners.weight_sparsification import masking
+from pocketflow_tpu.rl_agents.ddpg.agent import DdpgAgent
+
+FLAGS.DEFINE_string('cp_prune_option', 'auto',
+                    "CP: pruning option ('uniform' | 'list' | 'auto')")
+FLAGS.DEFINE_string('cp_prune_list_file', 'ratio.list',
+                    'CP: file with per-layer preserve ratios')
+FLAGS.DEFINE_string('cp_channel_pruned_path', './models/pruned_model.ckpt',
+                    "CP: pruned model's save path")
+FLAGS.DEFINE_string('cp_best_path', './models/best_model.ckpt',
+                    "CP: best pruned model's save path")
+FLAGS.DEFINE_string('cp_original_path', './models/original_model.ckpt',
+                    "CP: original model's save path")
+FLAGS.DEFINE_float('cp_preserve_ratio', 0.5, 'CP: desired FLOPs preserve ratio')
+FLAGS.DEFINE_float('cp_uniform_preserve_ratio', 0.6,
+                   'CP: per-layer preserve ratio (uniform mode)')
+FLAGS.DEFINE_float('cp_noise_tolerance', 0.15,
+                   'CP: noise tolerance bounding the FLOPs-policy reward')
+FLAGS.DEFINE_float('cp_lrn_rate_ft', 1e-4, 'CP: learning rate for global fine-tuning')
+FLAGS.DEFINE_float('cp_nb_iters_ft_ratio', 0.2,
+                   'CP: ratio of total iterations for global fine-tuning')
+FLAGS.DEFINE_boolean('cp_finetune', False, 'CP: finetune between list groups')
+FLAGS.DEFINE_boolean('cp_retrain', False, 'CP: retrain between list groups')
+FLAGS.DEFINE_integer('cp_list_group', 1000, 'CP: # of iterations for fast evaluation')
+FLAGS.DEFINE_integer('cp_nb_rlouts', 200, 'CP: # of roll-outs for the RL agent')
+FLAGS.DEFINE_integer('cp_nb_rlouts_min', 50,
+                     'CP: min # of roll-outs before the agent trains')
+FLAGS.DEFINE_string('cp_reward_policy', 'accuracy',
+                    "CP: reward policy ('accuracy' | 'flops')")
+
+
+class AmcRLHelper:
+    """AMC states + FLOPs-budget action constraint
+    (reference channel_pruner.py:108-213)."""
+
+    def __init__(self, specs, preserve_ratio: float, ratio_min: float = 0.2):
+        self.specs = specs
+        self.nb_layers = len(specs)
+        self.flops = np.asarray([s['flops'] for s in specs], np.float64)
+        self.total_flops = float(self.flops.sum())
+        self.desired_preserve = preserve_ratio * self.total_flops
+        self.ratio_min = ratio_min
+        # state: [idx, c_out, c_in, H, W, stride, flops, decided, rest, prev_a]
+        self.s_dims = 10
+        self.reset()
+
+    def reset(self):
+        self.ratios = np.ones(self.nb_layers)
+        self.decided = np.zeros(self.nb_layers, bool)
+        self.prev_action = 1.0
+
+    def calc_state(self, idx: int) -> np.ndarray:
+        s = self.specs[idx]
+        h, w, c_in, c_out = s['kernel_shape']
+        decided_flops = float(np.sum(self.flops[self.decided]
+                                     * self.ratios[self.decided]))
+        rest_flops = float(np.sum(self.flops[~self.decided]))
+        state = np.array([
+            idx / max(1, self.nb_layers - 1), c_out / 1024.0, c_in / 1024.0,
+            s['out_shape'][1] / 256.0, s['out_shape'][2] / 256.0,
+            s['strides'][0] / 4.0, s['flops'] / max(self.total_flops, 1.0),
+            decided_flops / max(self.total_flops, 1.0),
+            rest_flops / max(self.total_flops, 1.0), self.prev_action,
+        ], np.float32)
+        return state[None, :]
+
+    def constrain_action(self, idx: int, action: float) -> float:
+        """FLOPs budget: even pruning all later layers to ratio_min must keep
+        total preserved FLOPs <= desired (reference __action_constraint)."""
+        action = min(1.0, max(0.0, float(action)))
+        decided_flops = float(np.sum(self.flops[self.decided]
+                                     * self.ratios[self.decided]))
+        later = [j for j in range(self.nb_layers)
+                 if not self.decided[j] and j != idx]
+        later_min = float(np.sum(self.flops[later]) * self.ratio_min)
+        this = float(self.flops[idx])
+        max_action = (self.desired_preserve - decided_flops - later_min) / max(this, 1.0)
+        action = min(action, max(self.ratio_min, max_action))
+        self.ratios[idx] = action
+        self.decided[idx] = True
+        self.prev_action = action
+        return action
+
+    def preserved_flops(self) -> float:
+        return float(np.sum(self.flops * self.ratios))
+
+    def calc_reward(self, accuracy: float) -> float:
+        if FLAGS.cp_reward_policy == 'accuracy':
+            return float(accuracy)
+        # reward = -max(tol, 1-acc) * log(flops) (reference learner.py:611-621)
+        return float(-max(FLAGS.cp_noise_tolerance, 1.0 - accuracy)
+                     * math.log(max(self.preserved_flops(), 2.0)))
+
+
+class ChannelPrunedLearner(AbstractLearner):
+    """Channel pruning learner with uniform / list / AMC-auto strategies."""
+
+    def __init__(self, sm_writer, model_helper):
+        super().__init__(sm_writer, model_helper)
+        self.enbl_dst = FLAGS.enbl_dst
+        self.helper_dst = None
+        if self.enbl_dst:
+            from pocketflow_tpu.learners.distillation_helper import DistillationHelper
+            self.helper_dst = DistillationHelper(model_helper)
+        self.pruner: Optional[cp_lib.ChannelPruner] = None
+        self.specs = None
+
+    # ------------------------------------------------------------------
+
+    def _setup_pruner(self, state: TrainState):
+        sample = next(self.dataset_train.build())
+        sample_images = self.dataset_train.augment(
+            jnp.asarray(sample['image'][:2]), jax.random.PRNGKey(0), False)
+        self.specs = cp_lib.conv_layer_specs(
+            self.model, state.params, state.batch_stats, sample_images)
+        # first conv is never pruned (its input is the image)
+        self.specs = [s for s in self.specs if s['kernel_shape'][2] > 3]
+        self.pruner = cp_lib.ChannelPruner(self.model, self.dataset_train, self.specs)
+
+    def _ratio_list(self) -> List[float]:
+        nb = len(self.specs)
+        if FLAGS.cp_prune_option == 'uniform':
+            return [FLAGS.cp_uniform_preserve_ratio] * nb
+        if FLAGS.cp_prune_option == 'list':
+            with open(FLAGS.cp_prune_list_file) as fin:
+                return [float(s) for s in fin.readline().strip().split(',')]
+        raise ValueError('unexpected prune option: ' + FLAGS.cp_prune_option)
+
+    def prune_with_ratios(self, state: TrainState,
+                          ratios: List[float]) -> Tuple[TrainState, dict]:
+        """Sequentially prune each conv at its preserve ratio; later layers
+        sample activations from the already-pruned net (reference semantics)."""
+        fbstats = state.batch_stats
+        params = jax.device_get(self.copy_state(state).params)
+        train_iter = self.dataset_train.build()
+        chn_masks = {}
+        for spec, ratio in zip(self.specs, ratios):
+            path = spec['path']
+            # sample from the CURRENT (partially pruned) params
+            X, Y = self.pruner.collect(spec, jax.device_put(params),
+                                       fbstats, train_iter, self.next_rng())
+            kernel = params
+            for key in path.split('/'):
+                kernel = kernel[key]
+            new_kernel, idxs = self.pruner.prune_layer(
+                spec, kernel['kernel'], X, Y, ratio)
+            kernel['kernel'] = np.asarray(jax.device_get(new_kernel))
+            chn_masks[path] = idxs.astype(np.float32)
+            self.log.info('layer %s: kept %d/%d channels (target %.2f)',
+                          path, int(idxs.sum()), len(idxs), ratio)
+
+        def mk(path, leaf):
+            pstr = masking.path_str(path)
+            for spec in self.specs:
+                if pstr == spec['path'] + '/kernel':
+                    return jnp.asarray(
+                        chn_masks[spec['path']].reshape(1, 1, -1, 1))
+            return jnp.ones((), jnp.float32)
+
+        masks = jax.tree_util.tree_map_with_path(mk, state.params)
+        new_params = jax.device_put(params, self.repl_sharding)
+        state = state.replace(params=new_params, extra={'masks': masks})
+        return state, masks
+
+    # ------------------------------------------------------------------
+    # AMC auto mode (reference __prune_and_finetune_auto/__prune_rl)
+    # ------------------------------------------------------------------
+
+    def search_ratios_rl(self, state: TrainState) -> List[float]:
+        rl_helper = AmcRLHelper(self.specs, FLAGS.cp_preserve_ratio)
+        agent = DdpgAgent(
+            s_dims=rl_helper.s_dims, a_dims=1, nb_rlouts=FLAGS.cp_nb_rlouts,
+            buf_size=max(1, len(self.specs)) * max(1, FLAGS.cp_nb_rlouts_min),
+            a_min=0.0, a_max=1.0, seed=FLAGS.rand_seed)
+        agent.init()
+        eval_step = self.build_eval_step()
+        eval_iter = self.dataset_eval.build()
+        nb_feval = max(1, min(
+            8, self.dataset_eval.spec.nb_smpls_eval // self.dataset_eval.batch_size))
+
+        best_reward, best_ratios = -np.inf, None
+        for idx_rlout in range(FLAGS.cp_nb_rlouts):
+            rl_helper.reset()
+            agent.init_rlout()
+            states, actions = [], []
+            for idx in range(len(self.specs)):
+                s = rl_helper.calc_state(idx)
+                a = float(agent.actions_noisy(s)[0, 0])
+                a = rl_helper.constrain_action(idx, a)
+                states.append(s[0])
+                actions.append([a])
+                agent.train()
+            ratios = list(rl_helper.ratios)
+
+            pruned_state, _ = self.prune_with_ratios(state, ratios)
+            accs = [float(jax.device_get(
+                eval_step(pruned_state, next(eval_iter))['accuracy']))
+                for _ in range(nb_feval)]
+            reward = rl_helper.calc_reward(float(np.mean(accs)))
+
+            nb = len(self.specs)
+            states_np = np.asarray(states, np.float32)
+            states_next = np.vstack([states_np[1:], states_np[:1]])
+            terminals = np.zeros(nb); terminals[-1] = 1.0
+            agent.record(states_np, np.asarray(actions, np.float32),
+                         reward * np.ones(nb), terminals, states_next)
+            agent.finalize_rlout(np.asarray([reward]))
+            if reward > best_reward:
+                best_reward, best_ratios = reward, ratios
+            self.log.info(
+                'rlout #%d: reward=%.4f (best=%.4f) preserve=%.3f ratios=%s',
+                idx_rlout, reward, best_reward,
+                rl_helper.preserved_flops() / rl_helper.total_flops,
+                np.round(ratios, 3).tolist())
+        return best_ratios
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    def train(self) -> TrainState:
+        state, tx, _ = self.init_state()
+        state, _ = self.restore_baseline(state)
+        self._setup_pruner(state)
+
+        if FLAGS.cp_prune_option == 'auto':
+            ratios = self.search_ratios_rl(state)
+        else:
+            ratios = self._ratio_list()
+        state, masks = self.prune_with_ratios(state, ratios)
+
+        # global fine-tune with masked grads (reference __finetune_pruned_model)
+        import optax
+        schedule, nb_iters = self.setup_lrn_rate(self.global_batch_size)
+        nb_iters_ft = max(1, int(nb_iters * FLAGS.cp_nb_iters_ft_ratio))
+        tx_ft = optax.sgd(learning_rate=FLAGS.cp_lrn_rate_ft,
+                          momentum=FLAGS.momentum)
+        state = state.replace(opt_state=jax.jit(
+            tx_ft.init, out_shardings=self.repl_sharding)(state.params))
+
+        def grad_transform(grads, state):
+            return masking.mask_gradients(grads, state.extra['masks'])
+
+        def post_update(state):
+            return state.replace(params=masking.apply_masks(
+                state.params, state.extra['masks']))
+
+        loss_extra = self.helper_dst.loss_extra_fn() if self.helper_dst else None
+        train_step = self.build_train_step(
+            tx_ft, loss_extra_fn=loss_extra,
+            grad_transform_fn=grad_transform, post_update_fn=post_update)
+        eval_step = self.build_eval_step()
+        state = self.run_train_loop(
+            state, train_step, nb_iters=nb_iters_ft,
+            save_path=FLAGS.cp_channel_pruned_path,
+            eval_fn=lambda s: self.run_eval_loop(s, eval_step))
+        self.run_eval_loop(state, eval_step)
+        return state
+
+    def evaluate(self) -> Dict[str, float]:
+        state, _, _ = self.init_state()
+        self._setup_pruner(state)
+
+        def mk(path, leaf):
+            pstr = masking.path_str(path)
+            for spec in self.specs:
+                if pstr == spec['path'] + '/kernel':
+                    return jnp.ones((1, 1, leaf.shape[2], 1), jnp.float32)
+            return jnp.ones((), jnp.float32)
+
+        masks = jax.tree_util.tree_map_with_path(mk, state.params)
+        state = state.replace(extra={'masks': masks})
+        restored = self.restore_model(state, FLAGS.cp_channel_pruned_path)
+        if restored is None:
+            raise FileNotFoundError(
+                'no checkpoint found under ' + FLAGS.cp_channel_pruned_path)
+        return self.run_eval_loop(restored, self.build_eval_step())

@@ -194,6 +194,35 @@ def _fqcb_bwd(_, g):
 fake_quant_channel_bucket.defvjp(_fqcb_fwd, _fqcb_bwd)
 
 
+@jax.custom_vjp
+def fake_quant_with_range(x: jax.Array, range_min: jax.Array,
+                          range_max: jax.Array, bits: jax.Array) -> jax.Array:
+    """Fake-quantize with an EXTERNALLY tracked range (moving-average min/max),
+    the semantics of tf.contrib.quantize's MovingAvgQuantize used by the
+    uniform-tf learner (/root/reference/learners/uniform_quantization_tf/
+    learner.py:177-187).  STE passes gradients only inside the range (clipped
+    positions get zero gradient, like TF's FakeQuantWithMinMaxVars)."""
+    k = jnp.exp2(bits.astype(jnp.float32)) - 1.0
+    alpha = (range_max - range_min).astype(jnp.float32) + EPS
+    x32 = x.astype(jnp.float32)
+    clipped = jnp.clip(x32, range_min, range_max)
+    q = jnp.round((clipped - range_min) / alpha * k) / k
+    return (alpha * q + range_min).astype(x.dtype)
+
+
+def _fqwr_fwd(x, range_min, range_max, bits):
+    out = fake_quant_with_range(x, range_min, range_max, bits)
+    in_range = jnp.logical_and(x >= range_min, x <= range_max)
+    return out, in_range
+
+
+def _fqwr_bwd(in_range, g):
+    return g * in_range.astype(g.dtype), None, None, None
+
+
+fake_quant_with_range.defvjp(_fqwr_fwd, _fqwr_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Storage accounting (utils.py:297-306)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,82 @@
+"""Tests for LASSO channel selection + reconstruction (channel learner)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pocketflow_tpu.config import FLAGS
+
+
+def test_ista_lasso_matches_sparsity():
+    """ISTA solver: large alpha -> all zero; alpha=0 -> least squares."""
+    from pocketflow_tpu.learners.channel_pruning.channel_pruner import make_lasso_solver
+    rng = np.random.default_rng(0)
+    P = rng.normal(size=(200, 16)).astype(np.float32)
+    beta_true = np.zeros(16, np.float32)
+    beta_true[[2, 7, 11]] = [1.5, -2.0, 0.8]
+    y = P @ beta_true
+    solver = make_lasso_solver(nb_iters=500)
+    # alpha=0: recovers the true coefficients
+    beta = np.asarray(solver(jnp.asarray(P), jnp.asarray(y), jnp.float32(0.0)))
+    np.testing.assert_allclose(beta, beta_true, atol=1e-2)
+    # huge alpha: everything shrinks to zero
+    beta = np.asarray(solver(jnp.asarray(P), jnp.asarray(y), jnp.float32(1e5)))
+    assert np.all(beta == 0.0)
+    # moderate alpha: the true support dominates
+    beta = np.asarray(solver(jnp.asarray(P), jnp.asarray(y), jnp.float32(10.0)))
+    support = np.argsort(-np.abs(beta))[:3]
+    assert set(support) == {2, 7, 11}
+
+
+def test_select_channels_hits_target_count():
+    from pocketflow_tpu.learners.channel_pruning.channel_pruner import (
+        make_lasso_solver, select_channels)
+    rng = np.random.default_rng(1)
+    P = rng.normal(size=(300, 32)).astype(np.float32)
+    scales = np.ones(32, np.float32) * 0.05
+    scales[:8] = 2.0  # 8 strong channels
+    y = (P * scales) @ np.ones(32, np.float32)
+    solver = make_lasso_solver(nb_iters=400)
+    idxs = select_channels(P * scales, y, c_new=8, solver=solver)
+    assert 6 <= int(idxs.sum()) <= 10
+
+
+def test_amc_rl_helper_flops_budget():
+    from pocketflow_tpu.learners.channel_pruning.learner import AmcRLHelper
+    specs = [
+        {'path': 'c1', 'kernel_shape': (3, 3, 16, 32), 'strides': (1, 1),
+         'in_shape': (1, 16, 16, 16), 'out_shape': (1, 16, 16, 32), 'flops': 100.0},
+        {'path': 'c2', 'kernel_shape': (3, 3, 32, 64), 'strides': (1, 1),
+         'in_shape': (1, 16, 16, 32), 'out_shape': (1, 16, 16, 64), 'flops': 300.0},
+        {'path': 'c3', 'kernel_shape': (3, 3, 64, 64), 'strides': (1, 1),
+         'in_shape': (1, 8, 8, 64), 'out_shape': (1, 8, 8, 64), 'flops': 600.0},
+    ]
+    helper = AmcRLHelper(specs, preserve_ratio=0.5)
+    # agent greedily keeps everything; constraint must cap the budget
+    for idx in range(3):
+        helper.calc_state(idx)
+        helper.constrain_action(idx, 1.0)
+    assert helper.preserved_flops() <= 0.5 * helper.total_flops + 600 * 0.01 + 1e-6 \
+        or helper.preserved_flops() / helper.total_flops <= 0.65
+
+
+def test_channel_pruned_uniform_end_to_end(tmp_path):
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.learners.channel_pruning import ChannelPrunedLearner
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+    with FLAGS.scope(batch_size=16, nb_smpls_train=480, nb_smpls_eval=128,
+                     batch_size_eval=32, nb_epochs_rat=0.05, lrn_rate_init=0.05):
+        FullPrecLearner(None, ModelHelper()).train()
+        with FLAGS.scope(cp_prune_option='uniform', cp_uniform_preserve_ratio=0.5,
+                         cp_nb_batches=4, cp_nb_points_per_layer=6,
+                         cp_nb_iters_ft_ratio=0.3,
+                         cp_channel_pruned_path=str(tmp_path / 'cp' / 'model.ckpt')):
+            learner = ChannelPrunedLearner(None, ModelHelper())
+            state = learner.train()
+            k = np.asarray(jax.device_get(state.params['conv2']['kernel']))
+            chn_norms = np.linalg.norm(k.transpose(2, 0, 1, 3).reshape(32, -1), axis=1)
+            kept = int(np.sum(chn_norms > 0))
+            assert kept <= 20, kept  # ~16 of 32 channels survive
+            metrics = learner.run_eval_loop(state, learner.build_eval_step())
+            assert metrics['accuracy'] > 0.5
