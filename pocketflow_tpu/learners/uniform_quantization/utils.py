@@ -87,12 +87,21 @@ def discover_quant_sites(model, variables, sample_images) -> Dict[str, Any]:
 
 
 class QuantPolicy(CompressionPolicy):
-    """Fake-quantizes selected kernels + activations at traced bit-widths."""
+    """Fake-quantizes selected kernels + activations at traced bit-widths.
 
-    def __init__(self, weight_paths: List[str], w_bits: jax.Array, a_bits: jax.Array):
+    ``quant_acts`` statically disables activation quantization when every
+    activation runs at >= 32 bits (the reference only inserts activation
+    quant ops when act bits < 32) — otherwise each relu would pay a full
+    min/max+round pass whose result the `where` discards.
+    """
+
+    def __init__(self, weight_paths: List[str], w_bits: jax.Array, a_bits: jax.Array,
+                 quant_acts: bool = None):
         self.w_index = {p: i for i, p in enumerate(weight_paths)}
         self.w_bits = w_bits
         self.a_bits = a_bits
+        self.quant_acts = (FLAGS.uql_activation_bits < 32
+                           if quant_acts is None else quant_acts)
 
     def process_weight(self, path, kernel):
         idx = self.w_index.get(path)
@@ -112,7 +121,7 @@ class QuantPolicy(CompressionPolicy):
         return jnp.where(bits < 32, q, kernel)
 
     def process_act(self, path, act):
-        if not path.startswith('act/'):
+        if not path.startswith('act/') or not self.quant_acts:
             return act
         if self.a_bits.shape[0] == 0:
             return act

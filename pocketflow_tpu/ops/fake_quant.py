@@ -37,9 +37,12 @@ import jax.numpy as jnp
 import numpy as np
 
 EPS = 1e-10
-# Per-tensor VMEM budget for the single-block Pallas path (~bytes). Tensors
-# bigger than this fall back to the XLA implementation (still fused well).
-_PALLAS_MAX_BYTES = 8 * 1024 * 1024
+# Per-tensor VMEM budget for the single-block Pallas path (~bytes). The
+# kernel holds input + output + fp32 temporaries simultaneously (~4-5x the
+# input), so cap inputs at 2 MiB to stay under the 16 MiB VMEM scoped limit;
+# bigger tensors fall back to the XLA implementation (still fuses the
+# min/max + round chain into a few passes).
+_PALLAS_MAX_BYTES = 2 * 1024 * 1024
 
 
 def _use_pallas() -> bool:
