@@ -1,0 +1,18 @@
+"""Entry script for vgg_at_pascalvoc (parity with /root/reference/nets/vgg_at_pascalvoc_run.py).
+
+The reference gives each net its own tf.app.run() script; here every entry
+delegates to the shared dispatcher with the model pre-selected:
+
+    python -m pocketflow_tpu.nets.vgg_at_pascalvoc_run [--learner=... flags]
+"""
+
+import sys
+
+
+def main(argv=None):
+    import main as dispatcher
+    dispatcher.main(['--model=vgg_at_pascalvoc'] + list(argv or sys.argv[1:]))
+
+
+if __name__ == '__main__':
+    main()
