@@ -212,3 +212,5 @@ FLAGS.DEFINE_boolean('synthetic_data', False,
                      'use deterministic synthetic data when real files are absent')
 FLAGS.DEFINE_integer('rand_seed', 0, 'global PRNG seed')
 FLAGS.DEFINE_string('mesh_shape', '', 'comma "axis:size" list, e.g. "data:8" (empty = all devices on data axis)')
+FLAGS.DEFINE_boolean('enbl_tensor_parallel', False,
+                     "shard large kernels' last axis over the 'model' mesh axis")

@@ -135,6 +135,34 @@ def broadcast_from_primary(tree):
 
 # -- sharding helpers ---------------------------------------------------------
 
+# leaves smaller than this stay replicated even under tensor parallelism
+# (sharding tiny vectors costs more in collectives than it saves in memory)
+_TP_MIN_SIZE = 1 << 16
+
+
+def infer_tp_sharding(tree, mesh: Optional[Mesh] = None):
+    """Tensor-parallel sharding tree: shard each large leaf's LAST axis over
+    the 'model' mesh axis when divisible; everything else replicated.
+
+    This is the reference-free part of the rebuild (SURVEY.md §2.6: the
+    reference is DP-only; the mesh exposes the extra axis so big dense/conv
+    kernels shard without code changes).  XLA's sharding propagation inserts
+    the matching activation collectives.
+    """
+    mesh = mesh or global_mesh()
+    model_size = mesh.shape.get(MODEL_AXIS, 1)
+
+    def leaf_sharding(leaf):
+        shape = getattr(leaf, 'shape', None)
+        if (model_size > 1 and shape and len(shape) >= 1
+                and int(np.prod(shape)) >= _TP_MIN_SIZE
+                and shape[-1] % model_size == 0):
+            spec = [None] * (len(shape) - 1) + [MODEL_AXIS]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(leaf_sharding, tree)
+
 def data_sharding(mesh: Optional[Mesh] = None) -> NamedSharding:
     """Sharding for a batch: leading axis split over the data axis."""
     mesh = mesh or global_mesh()

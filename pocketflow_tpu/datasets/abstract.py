@@ -40,6 +40,8 @@ FLAGS.DEFINE_integer('nb_smpls_eval', None, '# of samples for evaluation (overri
 FLAGS.DEFINE_integer('batch_size', None, 'batch size per chip for training (override)')
 FLAGS.DEFINE_integer('batch_size_eval', None, 'batch size for evaluation (override)')
 FLAGS.DEFINE_string('data_dir_local', None, 'data directory - local')
+FLAGS.DEFINE_boolean('enbl_native_loader', True,
+                     'use the native (C++) threaded batch sampler when buildable')
 
 
 @dataclass(frozen=True)
@@ -168,6 +170,17 @@ class AbstractDataset(ABC):
                        shuffle: bool) -> Iterator[Dict[str, np.ndarray]]:
         batch_size = self.batch_size
         rng = self._rng
+        if FLAGS.get('enbl_native_loader', True):
+            # native threaded sampler (libpfdata, the tf.data-runtime analogue)
+            try:
+                from pocketflow_tpu.datasets.native_loader import NativeSampler
+                return NativeSampler(
+                    images, labels, batch_size, shuffle,
+                    seed=FLAGS.rand_seed + 977 * self.shard_id,
+                    nb_threads=max(1, min(4, FLAGS.nb_threads // 2)),
+                    queue_depth=max(2, FLAGS.prefetch_size))
+            except (RuntimeError, OSError):
+                pass  # toolchain unavailable: NumPy fallback below
 
         def gen():
             n = len(images)

@@ -26,13 +26,16 @@ _RECORD_BYTES = 1 + 32 * 32 * 3
 
 
 def _parse_bin_files(paths) -> Tuple[np.ndarray, np.ndarray]:
-    images, labels = [], []
-    for path in paths:
-        raw = np.fromfile(path, np.uint8).reshape(-1, _RECORD_BYTES)
-        labels.append(raw[:, 0].astype(np.int32))
-        # stored CHW planar -> HWC
-        images.append(raw[:, 1:].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
-    return np.concatenate(images), np.concatenate(labels)
+    raw = np.concatenate([np.fromfile(path, np.uint8) for path in paths])
+    # native threaded parse (libpfdata) when buildable, NumPy otherwise
+    from pocketflow_tpu.datasets.native_loader import parse_cifar10
+    parsed = parse_cifar10(raw)
+    if parsed is not None:
+        return parsed
+    recs = raw.reshape(-1, _RECORD_BYTES)
+    labels = recs[:, 0].astype(np.int32)
+    images = recs[:, 1:].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return np.ascontiguousarray(images), labels
 
 
 class Cifar10Dataset(AbstractDataset):

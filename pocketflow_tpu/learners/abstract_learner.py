@@ -87,6 +87,11 @@ class AbstractLearner(ABC):
         # shardings
         self.repl_sharding = NamedSharding(self.mesh, P())
         self.batch_sharding = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+        # tensor parallelism: large kernels shard their last axis over the
+        # 'model' mesh axis (new in the rebuild; the reference is DP-only)
+        self.enbl_tp = (FLAGS.get('enbl_tensor_parallel', False)
+                        and self.mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1)
+        self._state_sharding = None  # set by init_state under TP
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -132,7 +137,14 @@ class AbstractLearner(ABC):
                 opt_state=tx.init(params),
                 extra=extra)
 
-        state = jax.jit(init_fn, out_shardings=self.repl_sharding)(
+        if self.enbl_tp:
+            # shapes only — use a dummy key so the rng STREAM matches DP runs
+            skeleton = jax.eval_shape(init_fn, jax.random.PRNGKey(0),
+                                      jax.ShapeDtypeStruct(
+                                          jnp.asarray(sample).shape, jnp.uint8))
+            self._state_sharding = mesh_lib.infer_tp_sharding(skeleton, self.mesh)
+        state_sharding = self._state_sharding or self.repl_sharding
+        state = jax.jit(init_fn, out_shardings=state_sharding)(
             self.next_rng(), jnp.asarray(sample))
         return state, tx, schedule
 
@@ -183,10 +195,11 @@ class AbstractLearner(ABC):
             metrics = dict(metrics)
             return state, metrics
 
+        state_sharding = self._state_sharding or self.repl_sharding
         return jax.jit(
             step_fn,
-            in_shardings=(self.repl_sharding, self.batch_sharding, self.repl_sharding),
-            out_shardings=(self.repl_sharding, self.repl_sharding),
+            in_shardings=(state_sharding, self.batch_sharding, self.repl_sharding),
+            out_shardings=(state_sharding, self.repl_sharding),
             donate_argnums=(0,))
 
     def build_eval_step(self, policy_fn=None):
@@ -203,9 +216,10 @@ class AbstractLearner(ABC):
             loss, metrics = helper.calc_loss(labels, outputs, state.params)
             return {'loss': loss, **metrics}
 
+        state_sharding = self._state_sharding or self.repl_sharding
         return jax.jit(
             step_fn,
-            in_shardings=(self.repl_sharding, self.batch_sharding),
+            in_shardings=(state_sharding, self.batch_sharding),
             out_shardings=self.repl_sharding)
 
     # ------------------------------------------------------------------
@@ -224,12 +238,16 @@ class AbstractLearner(ABC):
             self.sm_writer if self.is_primary_worker() else None,
             self.dataset_train.batch_size, jax.process_count(), prefix=log_prefix)
         base_rng = self.next_rng()
+        from pocketflow_tpu.core.profiling import ProfilerHook
+        profiler = ProfilerHook()
 
         start = int(jax.device_get(state.step))
         for idx_iter in range(start, nb_iters):
             batch = next(iterator)
             rng = jax.random.fold_in(base_rng, idx_iter)
+            profiler.before_step(idx_iter)
             state, metrics = train_step(state, batch, rng)
+            profiler.after_step(idx_iter)
             if (idx_iter + 1) % FLAGS.summ_step == 0:
                 host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()
                                 if np.ndim(v) == 0}
@@ -238,6 +256,7 @@ class AbstractLearner(ABC):
                 self.save_model(state, save_path)
                 if eval_fn is not None:
                     eval_fn(state)
+        profiler.close()
         if self.is_primary_worker():
             self.save_model(state, save_path)
         self.auto_barrier()

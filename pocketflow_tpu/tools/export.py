@@ -153,10 +153,47 @@ def numeric_self_check(model, variables, restored_variables, sample_images,
 
 def save_packed(packed: Dict[str, Any], manifest: Dict[str, Any],
                 out_path: str) -> str:
+    """Serialize a packed dict to .npz + a JSON manifest.
+
+    Quantized entries (dicts with codes/alpha/beta) flatten to
+    '<path>#codes' / '#alpha' / '#beta' arrays with their metadata recorded
+    in the manifest, so `load_packed` reconstructs them losslessly."""
     os.makedirs(os.path.dirname(out_path) or '.', exist_ok=True)
-    np.savez_compressed(out_path, **{
-        key.replace('/', '__'): value for key, value in packed.items()
-        if not isinstance(value, dict)})
+    arrays, manifest = {}, dict(manifest)
+    qmeta = {}
+    for key, value in packed.items():
+        flat_key = key.replace('/', '__')
+        if isinstance(value, dict) and 'codes' in value:
+            arrays[flat_key + '#codes'] = value['codes']
+            arrays[flat_key + '#alpha'] = value['alpha']
+            arrays[flat_key + '#beta'] = value['beta']
+            qmeta[key] = {'bits': value['bits'], 'shape': list(value['shape']),
+                          'bucket_type': value['bucket_type'],
+                          'bucket_size': value['bucket_size']}
+        else:
+            arrays[flat_key] = value
+    if qmeta:
+        manifest['quantized'] = qmeta
+    np.savez_compressed(out_path, **arrays)
     with open(out_path + '.manifest.json', 'w') as fout:
         json.dump(manifest, fout, indent=2, default=str)
     return out_path
+
+
+def load_packed(out_path: str) -> Dict[str, Any]:
+    """Inverse of save_packed: returns the packed dict."""
+    blob = np.load(out_path if out_path.endswith('.npz') else out_path + '.npz')
+    with open((out_path if out_path.endswith('.npz') else out_path + '.npz')
+              + '.manifest.json') as fin:
+        manifest = json.load(fin)
+    qmeta = manifest.get('quantized', {})
+    packed = {}
+    for flat_key in blob.files:
+        key = flat_key.split('#')[0].replace('__', '/')
+        if '#' in flat_key:
+            item = packed.setdefault(key, dict(qmeta[key]))
+            item['shape'] = tuple(item['shape'])
+            item[flat_key.split('#')[1]] = blob[flat_key]
+        else:
+            packed[key] = blob[flat_key]
+    return packed

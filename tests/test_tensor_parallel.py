@@ -1,0 +1,61 @@
+"""Tensor-parallel sharding tests (model mesh axis)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pocketflow_tpu.config import FLAGS
+from pocketflow_tpu.core import mesh as mesh_lib
+
+
+def test_infer_tp_sharding_rules():
+    mesh = mesh_lib.build_mesh(jax.devices()[:8],
+                               (mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS), (4, 2))
+    tree = {
+        'big_dense': jnp.zeros((512, 256)),     # shardable: 256 % 2 == 0, big
+        'big_conv': jnp.zeros((3, 3, 128, 512)),
+        'tiny_bias': jnp.zeros((256,)),         # too small: replicated
+        'odd_last': jnp.zeros((1024, 129)),     # 129 % 2 != 0: replicated
+    }
+    shardings = mesh_lib.infer_tp_sharding(tree, mesh)
+    assert tuple(shardings['big_dense'].spec) == (None, mesh_lib.MODEL_AXIS)
+    assert tuple(shardings['big_conv'].spec)[-1] == mesh_lib.MODEL_AXIS
+    assert tuple(shardings['tiny_bias'].spec) == ()
+    assert tuple(shardings['odd_last'].spec) == ()
+
+
+def test_tp_train_step_matches_dp_only(tmp_path):
+    """Same seed, TP on vs off: losses must agree (sharding is semantics-free)."""
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+
+    def run(enbl_tp, mesh_axes, per_chip_batch):
+        mesh_lib.reset_global_mesh()
+        mesh_lib.set_global_mesh(mesh_lib.build_mesh(
+            jax.devices()[:8], (mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS),
+            mesh_axes))
+        with FLAGS.scope(batch_size=per_chip_batch, batch_size_eval=4,
+                         nb_smpls_train=128,
+                         nb_smpls_eval=32, nb_epochs_rat=0.01,
+                         lrn_rate_init=0.05, enbl_tensor_parallel=enbl_tp,
+                         enbl_native_loader=False):
+            learner = FullPrecLearner(None, ModelHelper())
+            state, tx, _ = learner.init_state()
+            step = learner.build_train_step(tx)
+            iterator = learner.dataset_train.build()
+            losses = []
+            for i in range(3):
+                state, m = step(state, next(iterator),
+                                jax.random.fold_in(jax.random.PRNGKey(7), i))
+                losses.append(float(jax.device_get(m['accuracy'])))
+            if enbl_tp:
+                spec = state.params['fc3']['kernel'].sharding.spec
+                assert tuple(spec)[-1] == mesh_lib.MODEL_AXIS
+            return losses
+
+    # equal GLOBAL batch (32) so the loss trajectories are comparable
+    dp = run(False, (8, 1), per_chip_batch=4)
+    tp = run(True, (4, 2), per_chip_batch=8)
+    mesh_lib.reset_global_mesh()
+    np.testing.assert_allclose(dp, tp, rtol=1e-4)
