@@ -226,6 +226,23 @@ class AbstractLearner(ABC):
     # loops
     # ------------------------------------------------------------------
 
+    def device_prefetch(self, iterator: Iterator, depth: int = 2) -> Iterator:
+        """Overlap host->device batch copies with compute: keep `depth`
+        batches in flight on the device (device_put is async) so the chip
+        never waits on PCIe/DMA — the device-side half of the reference's
+        `.prefetch()` (its tf.data prefetch only covers the host side)."""
+        import collections
+        buf = collections.deque()
+
+        def put(batch):
+            return jax.device_put(batch, self.batch_sharding)
+
+        for _ in range(depth):
+            buf.append(put(next(iterator)))
+        while True:
+            buf.append(put(next(iterator)))
+            yield buf.popleft()
+
     def run_train_loop(self, state: TrainState, train_step, nb_iters: Optional[int] = None,
                        save_path: Optional[str] = None, eval_fn=None,
                        iterator: Optional[Iterator] = None,
@@ -234,6 +251,7 @@ class AbstractLearner(ABC):
         nb_iters = nb_iters if nb_iters is not None else self.nb_iters_train
         save_path = save_path or FLAGS.save_path
         iterator = iterator if iterator is not None else self.dataset_train.build()
+        iterator = self.device_prefetch(iterator)
         monitor = ProgressMonitor(
             self.sm_writer if self.is_primary_worker() else None,
             self.dataset_train.batch_size, jax.process_count(), prefix=log_prefix)

@@ -97,6 +97,47 @@ def _fq_pallas_2d(x2d: jax.Array, k: jax.Array, per_column: bool) -> jax.Array:
     )(x2d, k.reshape(1))
 
 
+# column-tile width for the gridded per-column kernel (lane dimension)
+_COL_TILE = 128
+# max rows a [rows, 128] fp32 block may have: in + out + temps < 16 MiB VMEM
+_MAX_GRID_ROWS = 8192
+
+
+@jax.jit
+def _fq_pallas_cols_grid(x2d: jax.Array, k: jax.Array) -> jax.Array:
+    """Gridded per-column fake-quant: each program quantizes a [rows, 128]
+    column stripe (column scales are independent, so the grid tiles the
+    column axis and every stripe is one fused min/max->round pass in VMEM).
+    Handles tensors far beyond the single-block VMEM budget."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, cols = x2d.shape
+    grid = (pl.cdiv(cols, _COL_TILE),)
+    return pl.pallas_call(
+        _fq_axis0_kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        in_specs=[
+            pl.BlockSpec((rows, _COL_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, _COL_TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(x2d, k.reshape(1))
+
+
+def _per_column_quant(cols2d: jax.Array, k) -> jax.Array:
+    """Route per-column quantization: gridded Pallas kernel when the stripe
+    fits VMEM and rows align to the fp32 sublane tile, else fused XLA."""
+    rows = cols2d.shape[0]
+    if (_use_pallas() and rows % 8 == 0 and rows <= _MAX_GRID_ROWS
+            and cols2d.size >= 1024):
+        return _fq_pallas_cols_grid(cols2d, jnp.asarray(k, jnp.float32))
+    return _quantize_math(cols2d, k, 0)
+
+
 def _pad_to_2d(x: jax.Array) -> Tuple[jax.Array, Tuple[int, int]]:
     """Flatten to [rows, 128] padded with the first element (value-neutral for
     min/max only when padding with an existing element — we use x[0])."""
@@ -149,11 +190,7 @@ def fake_quant_split_bucket(x: jax.Array, bits: jax.Array, bucket_size: int) -> 
     # row-major [bucket_size, nb_buckets] — same layout as tf.reshape, so
     # bucket j collects the elements with index % nb_buckets == j
     cols = flat.reshape(bucket_size, nb_buckets)
-    if _use_pallas() and cols.size * 4 <= _PALLAS_MAX_BYTES and cols.size >= 1024:
-        k_arr = jnp.asarray(k, jnp.float32)
-        out = _fq_pallas_2d(cols, k_arr, True)
-    else:
-        out = _quantize_math(cols, k, 0)
+    out = _per_column_quant(cols, k)
     out = out.reshape(-1)
     if pad:
         out = out[:-pad]
@@ -179,10 +216,7 @@ def fake_quant_channel_bucket(x: jax.Array, bits: jax.Array) -> jax.Array:
     k = (jnp.exp2(bits.astype(jnp.float32)) - 1.0)
     cout = x.shape[-1]
     cols = x.reshape(-1, cout)
-    if _use_pallas() and cols.size * 4 <= _PALLAS_MAX_BYTES and cols.size >= 1024:
-        out = _fq_pallas_2d(cols, k, True)
-    else:
-        out = _quantize_math(cols, k, 0)
+    out = _per_column_quant(cols, k)
     return out.reshape(x.shape).astype(x.dtype)
 
 
