@@ -34,8 +34,17 @@ def path_str(path: Tuple) -> str:
 
 
 def is_maskable_path(path: Tuple) -> bool:
-    """Kernel leaves of conv/dense layers (reference utils.py:19-39)."""
-    return _key_name(path[-1]) == 'kernel'
+    """Kernel leaves of conv/dense layers (reference utils.py:19-39).
+
+    The reference matches tf.layers conv/dense kernels plus slim *pointwise*
+    conv weights — slim depthwise weights ('depthwise_weights') are NOT
+    maskable.  Our depthwise modules are named 'dw*' (nets/mobilenet.py), so
+    kernels under them are excluded the same way."""
+    if _key_name(path[-1]) != 'kernel':
+        return False
+    if len(path) >= 2 and _key_name(path[-2]).startswith('dw'):
+        return False
+    return True
 
 
 def maskable_paths(params) -> List[str]:
