@@ -29,7 +29,8 @@ def main():
     import pocketflow_tpu  # noqa: F401
     from pocketflow_tpu.config import FLAGS
     FLAGS.override(synthetic_data=True, compute_dtype='bfloat16',
-                   summ_step=10 ** 9, save_step=10 ** 9)
+                   summ_step=10 ** 9, save_step=10 ** 9,
+                   resnet_stem_s2d=True)  # MXU-dense stem (MLPerf trick)
 
     from pocketflow_tpu.nets.resnet_at_ilsvrc12 import ModelHelper
     from pocketflow_tpu.learners.full_precision import FullPrecLearner

@@ -21,3 +21,11 @@ def register_all_flags():
             __import__('pocketflow_tpu.learners.' + optional)
         except ImportError:
             pass  # subsystem not built yet
+    # net-helper flags (resnet_size, mobilenet_version, ssd_*, frcnn_*, ...)
+    for net in ('resnet_at_ilsvrc12', 'resnet_at_cifar10',
+                'mobilenet_at_ilsvrc12', 'vgg_at_pascalvoc',
+                'faster_rcnn_at_pascalvoc'):
+        try:
+            __import__('pocketflow_tpu.nets.' + net)
+        except ImportError:
+            pass

@@ -95,16 +95,39 @@ IMAGENET_CONFIGS = {
 }
 
 
+def space_to_depth(x, block: int = 2):
+    """NHWC space-to-depth: [B, H, W, C] -> [B, H/b, W/b, C*b*b]."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, h // block, w // block, c * block * block)
+
+
 class ResNetImageNet(nn.Module):
-    """ResNet-v1 for ILSVRC-12 (7x7 stem, 4 stages)."""
+    """ResNet-v1 for ILSVRC-12 (7x7 stem, 4 stages).
+
+    ``stem_space_to_depth`` replaces the 7x7/s2 stem conv on 3 channels with
+    a 4x4/s1 conv on the 2x2 space-to-depth input (12 channels) — the MLPerf
+    ResNet trick: a C=3 conv wastes most of the MXU's 8-lane input tile,
+    while the folded conv runs dense. Same output geometry (112x112x64), a
+    slightly larger (superset) parameterization; enable when training from
+    scratch on TPU.
+    """
     resnet_size: int = 50
     nb_classes: int = 1001
     dtype: object = jnp.bfloat16
+    stem_space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         block_cls, stage_sizes = IMAGENET_CONFIGS[self.resnet_size]
-        x = PFConv(64, (7, 7), (2, 2), use_bias=False, dtype=self.dtype, name='conv_init')(x)
+        if self.stem_space_to_depth:
+            x = space_to_depth(x.astype(self.dtype), 2)
+            x = PFConv(64, (4, 4), (1, 1), use_bias=False, dtype=self.dtype,
+                       name='conv_init')(x)
+        else:
+            x = PFConv(64, (7, 7), (2, 2), use_bias=False, dtype=self.dtype,
+                       name='conv_init')(x)
         x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
         x = relu(x)
         x = max_pool(x, (3, 3), (2, 2), padding='SAME')

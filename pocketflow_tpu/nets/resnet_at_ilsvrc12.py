@@ -14,6 +14,10 @@ from pocketflow_tpu.datasets.ilsvrc12 import Ilsvrc12Dataset
 from pocketflow_tpu.nets.abstract_model_helper import AbstractModelHelper
 from pocketflow_tpu.nets.resnet import ResNetImageNet
 
+FLAGS.DEFINE_boolean('resnet_stem_s2d', False,
+                     'fold the 7x7/s2 stem into a space-to-depth 4x4 conv '
+                     '(MXU-dense; for training from scratch on TPU)')
+
 
 class ModelHelper(AbstractModelHelper):
     """Model helper for ResNet @ ILSVRC-12."""
@@ -36,8 +40,10 @@ class ModelHelper(AbstractModelHelper):
 
     def create_model(self):
         dtype = jnp.bfloat16 if FLAGS.compute_dtype == 'bfloat16' else jnp.float32
-        return ResNetImageNet(resnet_size=self.resnet_size,
-                              nb_classes=self.dataset_train.spec.nb_classes, dtype=dtype)
+        return ResNetImageNet(
+            resnet_size=self.resnet_size,
+            nb_classes=self.dataset_train.spec.nb_classes, dtype=dtype,
+            stem_space_to_depth=FLAGS.get('resnet_stem_s2d', False))
 
     def calc_loss(self, labels, outputs, trainable_vars):
         loss = self.softmax_cross_entropy(labels, outputs)
