@@ -74,7 +74,11 @@ def main():
         for i in range(N_TIMED):
             state, metrics = train_step(state, batches[i % len(batches)],
                                         jax.random.fold_in(rng, 100 + i))
-        jax.block_until_ready(metrics)
+        # device_get forces a REAL value transfer (the steps chain through
+        # `state`, so this cannot complete before every step has executed);
+        # block_until_ready alone does not synchronize remote execution on
+        # tunneled backends
+        float(jax.device_get(metrics['accuracy']))
         elapsed = time.perf_counter() - start
 
     n_chips = max(1, len(jax.devices()))
