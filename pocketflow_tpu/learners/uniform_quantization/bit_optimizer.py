@@ -93,6 +93,11 @@ class BitOptimizer:
         nb_feval = max(1, min(
             8, learner.dataset_eval.spec.nb_smpls_eval // learner.dataset_eval.batch_size))
 
+        lt_step = None
+        if self._f('enbl_rl_layerwise_tune'):
+            lt_step = self._build_layerwise_tune_step()
+            lt_steps = max(1, self._f('tune_layerwise_steps') // learner.nb_workers)
+
         reward_opt, w_bits_opt = -np.inf, None
         for idx_rlout in range(self._f('nb_rlouts')):
             # 1. propose per-layer bits (possibly visiting layers in random order)
@@ -113,6 +118,12 @@ class BitOptimizer:
             # the baseline must survive every roll-out)
             state = learner.set_bits(
                 learner.copy_state(self.baseline_state), w_bit_list, fp_a_bits)
+            if lt_step is not None:
+                opt_lt = lt_step['init'](state.params)
+                for _ in range(lt_steps):
+                    state, opt_lt = lt_step['step'](
+                        self.baseline_state.params, self.baseline_state.batch_stats,
+                        state, opt_lt, next(train_iter))
             if self._f('enbl_rl_global_tune'):
                 rng = jax.random.PRNGKey(FLAGS.rand_seed + idx_rlout)
                 for step in range(tune_steps):
@@ -141,3 +152,46 @@ class BitOptimizer:
                           idx_rlout, w_bit_list, float(reward[0][0]), reward_opt)
 
         return w_bits_opt, fp_a_bits
+
+    # ------------------------------------------------------------------
+
+    def _build_layerwise_tune_step(self):
+        """Layerwise regression of the quantized net onto the full-precision
+        baseline (the reference's layerwise_tune_ops, learner.py:142-166 in
+        uniform_quantization/utils.py): every conv/dense output's L2 distance
+        to the baseline output, layer inputs stop-gradient'ed so each kernel
+        receives its own regression gradient — one fused jitted step."""
+        import optax
+        from pocketflow_tpu.learners.capture import capture_forward
+        learner = self.learner
+        model = learner.model
+        augment = learner.dataset_train.augment
+        policy_fn = learner._policy_fn()
+        tx = optax.adam(1e-3)
+
+        @jax.jit
+        def init(params):
+            return tx.init(params)
+
+        @jax.jit
+        def step(fparams, fbstats, state, opt_state, batch):
+            import jax.numpy as jnp
+            images = augment(batch['image'], jax.random.PRNGKey(0), False)
+            targets = {p: jax.lax.stop_gradient(a) for p, a in capture_forward(
+                model, {'params': fparams, 'batch_stats': fbstats}, images)}
+
+            def loss_fn(params):
+                policy = policy_fn(state)
+                outs = dict(capture_forward(
+                    model, {'params': params, 'batch_stats': state.batch_stats},
+                    images, stop_input_grads=True, inner=policy))
+                return sum(jnp.sum(jnp.square(
+                    outs[p].astype(jnp.float32) - targets[p].astype(jnp.float32)))
+                    for p in targets) * 0.5
+
+            grads = jax.grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(params=params), opt_state
+
+        return {'init': init, 'step': step}

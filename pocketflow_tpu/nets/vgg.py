@@ -21,9 +21,17 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from flax import linen as nn_linen
+
 from pocketflow_tpu.nn import PFConv, max_pool, relu
 
 VGG_STAGES = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+
+# VGG has no normalization layers: He fan-out init compounds activation
+# growth over 13+ relu convs, so use Xavier for the trunk and the SSD
+# convention (normal 0.01) for the multibox heads to keep initial logits tame
+_XAVIER = nn_linen.initializers.variance_scaling(1.0, 'fan_avg', 'uniform')
+_HEAD_INIT = nn_linen.initializers.normal(0.01)
 
 
 class VGGBackbone(nn.Module):
@@ -35,7 +43,7 @@ class VGGBackbone(nn.Module):
         feats = []
         for stage, (nb_convs, width) in enumerate(VGG_STAGES, start=1):
             for idx in range(nb_convs):
-                x = PFConv(width, (3, 3), dtype=self.dtype,
+                x = PFConv(width, (3, 3), dtype=self.dtype, kernel_init=_XAVIER,
                            name='conv%d_%d' % (stage, idx + 1))(x)
                 x = relu(x)
             if stage == 4:
@@ -45,12 +53,29 @@ class VGGBackbone(nn.Module):
             else:
                 x = max_pool(x, (3, 3), (1, 1), padding='SAME')
         # dilated conv6 + conv7 (fc6/fc7 conversions)
-        x = PFConv(1024, (3, 3), dtype=self.dtype, name='conv6')(x)
+        x = PFConv(1024, (3, 3), dtype=self.dtype, kernel_init=_XAVIER,
+                   name='conv6')(x)
         x = relu(x)
-        x = PFConv(1024, (1, 1), dtype=self.dtype, name='conv7')(x)
+        x = PFConv(1024, (1, 1), dtype=self.dtype, kernel_init=_XAVIER,
+                   name='conv7')(x)
         x = relu(x)
         feats.append(x)
         return feats
+
+
+class L2Norm(nn.Module):
+    """Channel-wise L2 normalization with a learned scale (SSD's conv4_3
+    norm layer — VGG has no BN, so the conv4_3 feature magnitudes must be
+    tamed or training diverges; scale init 20 per the SSD paper)."""
+    init_scale: float = 20.0
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param('scale', nn.initializers.constant(self.init_scale),
+                           (x.shape[-1],))
+        x32 = x.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(jnp.square(x32), axis=-1, keepdims=True) + 1e-10)
+        return (x32 / norm * scale).astype(x.dtype)
 
 
 class SSDVGG(nn.Module):
@@ -66,16 +91,17 @@ class SSDVGG(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         feats = VGGBackbone(dtype=self.dtype, name='vgg')(x)
+        feats[0] = L2Norm(name='l2norm_conv4_3')(feats[0])
         y = feats[-1]
         for idx in range(self.max_extra_blocks):
             if y.shape[1] <= 1:
                 break
             width = 256 if idx == 0 else 128
-            y = PFConv(width, (1, 1), dtype=self.dtype,
+            y = PFConv(width, (1, 1), dtype=self.dtype, kernel_init=_XAVIER,
                        name='conv%d_1' % (8 + idx))(y)
             y = relu(y)
             y = PFConv(width * 2, (3, 3), (2, 2), dtype=self.dtype,
-                       name='conv%d_2' % (8 + idx))(y)
+                       kernel_init=_XAVIER, name='conv%d_2' % (8 + idx))(y)
             y = relu(y)
             feats.append(y)
 
@@ -83,9 +109,9 @@ class SSDVGG(nn.Module):
         k = self.nb_anchors_per_cell
         for idx, feat in enumerate(feats):
             cls = PFConv(k * self.nb_classes, (3, 3), dtype=self.dtype,
-                         name='cls_head_%d' % idx)(feat)
+                         kernel_init=_HEAD_INIT, name='cls_head_%d' % idx)(feat)
             box = PFConv(k * 4, (3, 3), dtype=self.dtype,
-                         name='box_head_%d' % idx)(feat)
+                         kernel_init=_HEAD_INIT, name='box_head_%d' % idx)(feat)
             b = feat.shape[0]
             cls_outs.append(cls.reshape(b, -1, self.nb_classes))
             box_outs.append(box.reshape(b, -1, 4))

@@ -50,12 +50,31 @@ def _normalize(x2d: jax.Array, per_column: bool):
     return (x32 - beta) / alpha, alpha, beta
 
 
+# bound the [chunk, k, b] argmin intermediate (fp32 elements); with k=256
+# codebooks on multi-million-element kernels the unchunked tile would need
+# GBs of HBM scratch
+_ASSIGN_CHUNK_ELEMS = 4 * 1024 * 1024
+
+
 def _assign_and_gather(x_norm: jax.Array, c: jax.Array):
     """x_norm [n, b], c [k, b] -> (q [n, b], assign [n, b])."""
-    # |x - c| over the cluster axis; k is small (<= 256) so the [n, k, b]
-    # intermediate tiles fine on the VPU and XLA fuses the argmin reduction.
-    diff = jnp.abs(x_norm[:, None, :] - c[None, :, :])
-    assign = jnp.argmin(diff, axis=1)  # [n, b]
+    n, b = x_norm.shape
+    k = c.shape[0]
+
+    def assign_block(block):
+        diff = jnp.abs(block[:, None, :] - c[None, :, :])
+        return jnp.argmin(diff, axis=1)
+
+    if n * k * b <= _ASSIGN_CHUNK_ELEMS:
+        assign = assign_block(x_norm)
+    else:
+        # row-chunked scan: clusters are per-column, rows are independent
+        rows = max(1, _ASSIGN_CHUNK_ELEMS // max(1, k * b))
+        rows = max(1, min(n, rows))
+        pad = (-n) % rows
+        padded = jnp.pad(x_norm, ((0, pad), (0, 0)))
+        blocks = padded.reshape(-1, rows, b)
+        assign = jax.lax.map(assign_block, blocks).reshape(-1, b)[:n]
     q = jnp.take_along_axis(c, assign, axis=0)
     return q, assign
 

@@ -1,0 +1,61 @@
+"""Chunked NUQ assignment parity, RL layerwise tune, compression x detection."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pocketflow_tpu.config import FLAGS
+
+
+def test_chunked_assign_matches_unchunked():
+    from pocketflow_tpu.ops import nonuniform_quant as nuq
+    x = jax.random.normal(jax.random.PRNGKey(0), (512, 8))
+    c = nuq.init_codebook(x, bits=4, init_style='uniform',
+                          bucket_type=None, bucket_size=256)
+    x2d, _, per_col = nuq.to_buckets(x, None, 256)
+    full = np.asarray(nuq.nonuniform_quant_2d(x2d, c, per_col))
+    # force chunking
+    old = nuq._ASSIGN_CHUNK_ELEMS
+    try:
+        nuq._ASSIGN_CHUNK_ELEMS = 4096
+        chunked = np.asarray(nuq.nonuniform_quant_2d(x2d, c, per_col))
+    finally:
+        nuq._ASSIGN_CHUNK_ELEMS = old
+    np.testing.assert_array_equal(full, chunked)
+
+
+@pytest.mark.slow
+def test_bit_optimizer_layerwise_tune(tmp_path):
+    from pocketflow_tpu.learners.uniform_quantization.learner import UniformQuantLearner
+    from pocketflow_tpu.learners.uniform_quantization.bit_optimizer import BitOptimizer
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+    with FLAGS.scope(batch_size=16, nb_smpls_train=256, nb_smpls_eval=64,
+                     batch_size_eval=16, nb_epochs_rat=0.01, lrn_rate_init=0.05,
+                     uql_enbl_rl_agent=True, uql_nb_rlouts=2,
+                     uql_enbl_rl_layerwise_tune=True, uql_tune_layerwise_steps=2,
+                     uql_tune_global_steps=2, uql_equivalent_bits=4,
+                     uql_quantize_all_layers=True):
+        learner = UniformQuantLearner(None, ModelHelper())
+        state, _, _ = learner.init_state_quant()
+        w_bits, a_bits = BitOptimizer(learner, state).run()
+        assert len(w_bits) == 4
+
+
+def test_weight_sparse_on_ssd_detection(tmp_path):
+    """Compression learners must reach detection models (SSD kernels)."""
+    from pocketflow_tpu.learners.weight_sparsification.learner import WeightSparseLearner
+    from pocketflow_tpu.learners.weight_sparsification import masking
+    from pocketflow_tpu.nets.vgg_at_pascalvoc import ModelHelper
+    with FLAGS.scope(batch_size=4, batch_size_eval=4, nb_smpls_train=64,
+                     nb_smpls_eval=16, nb_epochs_rat=0.05, lrn_rate_init=0.003,
+                     voc_image_size=64, nb_bboxs_max=8, loss_w_dcy=0.0,
+                     ws_prune_ratio=0.5, ws_prune_ratio_prtl='uniform',
+                     ws_mask_update_step=2, ws_iter_ratio_beg=0.0,
+                     ws_iter_ratio_end=0.5,
+                     ws_save_path=str(tmp_path / 'ws_ssd' / 'model.ckpt')):
+        learner = WeightSparseLearner(None, ModelHelper())
+        state = learner.train()
+        pr = float(jax.device_get(masking.calc_prune_ratio(
+            state.params, maskable_only=True)))
+        assert pr == pytest.approx(0.5, abs=0.05), pr
