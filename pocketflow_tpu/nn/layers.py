@@ -64,6 +64,13 @@ class CompressionPolicy:
         """Transform a layer's input (input-side channel masking)."""
         return x
 
+    def run_contraction(self, path: str, x: jax.Array, kernel: jax.Array,
+                        conv_fn) -> Optional[jax.Array]:
+        """Optionally TAKE OVER a conv/dense contraction (return the output)
+        or return None to run the default path.  Serving policies use this to
+        execute the contraction in int8 on the MXU (ops/int8_ops.py)."""
+        return None
+
 
 _POLICY_STACK = []
 
@@ -161,10 +168,19 @@ class PFConv(nn.Module):
             (*self.kernel_size, in_features, self.features), jnp.float32)
         x = _apply_input_hooks(self, x)
         kernel = _apply_weight_hooks(self, kernel)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=self.strides, padding=self.padding,
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+        def conv_fn(xv, kv, acc_dtype=None):
+            return jax.lax.conv_general_dilated(
+                xv, kv, window_strides=self.strides, padding=self.padding,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                **({'preferred_element_type': acc_dtype} if acc_dtype else {}))
+
+        y = None
+        policy = current_policy()
+        if policy is not None:
+            y = policy.run_contraction(_path_of(self), x, kernel, conv_fn)
+        if y is None:
+            y = conv_fn(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(y.dtype)
@@ -214,7 +230,18 @@ class PFDense(nn.Module):
                             (x.shape[-1], self.features), jnp.float32)
         x = _apply_input_hooks(self, x)
         kernel = _apply_weight_hooks(self, kernel)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+
+        def dense_fn(xv, kv, acc_dtype=None):
+            return jax.lax.dot_general(
+                xv, kv, dimension_numbers=(((xv.ndim - 1,), (0,)), ((), ())),
+                **({'preferred_element_type': acc_dtype} if acc_dtype else {}))
+
+        y = None
+        policy = current_policy()
+        if policy is not None:
+            y = policy.run_contraction(_path_of(self), x, kernel, dense_fn)
+        if y is None:
+            y = dense_fn(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(y.dtype)
