@@ -107,7 +107,9 @@ class AmcRLHelper:
         later_min = float(np.sum(self.flops[later]) * self.ratio_min)
         this = float(self.flops[idx])
         max_action = (self.desired_preserve - decided_flops - later_min) / max(this, 1.0)
-        action = min(action, max(self.ratio_min, max_action))
+        # budget cap from above, ratio_min floor from below (the AMC lbound —
+        # the later_min accounting above assumes every layer keeps >= ratio_min)
+        action = max(self.ratio_min, min(action, max(self.ratio_min, max_action)))
         self.ratios[idx] = action
         self.decided[idx] = True
         self.prev_action = action
@@ -161,10 +163,18 @@ class ChannelPrunedLearner(AbstractLearner):
     def prune_with_ratios(self, state: TrainState,
                           ratios: List[float]) -> Tuple[TrainState, dict]:
         """Sequentially prune each conv at its preserve ratio; later layers
-        sample activations from the already-pruned net (reference semantics)."""
+        sample activations from the already-pruned net (reference semantics).
+
+        Between layer groups, ``--cp_finetune`` runs a short masked fine-tune
+        on the task loss and ``--cp_retrain`` re-initializes the optimizer and
+        trains longer (reference __prune_and_finetune_list, learner.py:602-609;
+        group length = ``cp_list_group`` iterations).
+        """
         fbstats = state.batch_stats
         params = jax.device_get(self.copy_state(state).params)
         train_iter = self.dataset_train.build()
+        group_step = self._build_group_ft_step() \
+            if (FLAGS.cp_finetune or FLAGS.cp_retrain) else None
         chn_masks = {}
         for spec, ratio in zip(self.specs, ratios):
             path = spec['path']
@@ -180,6 +190,9 @@ class ChannelPrunedLearner(AbstractLearner):
             chn_masks[path] = idxs.astype(np.float32)
             self.log.info('layer %s: kept %d/%d channels (target %.2f)',
                           path, int(idxs.sum()), len(idxs), ratio)
+            if group_step is not None:
+                params, fbstats = self._group_finetune(
+                    group_step, params, fbstats, chn_masks, train_iter)
 
         def mk(path, leaf):
             pstr = masking.path_str(path)
@@ -193,6 +206,60 @@ class ChannelPrunedLearner(AbstractLearner):
         new_params = jax.device_put(params, self.repl_sharding)
         state = state.replace(params=new_params, extra={'masks': masks})
         return state, masks
+
+    def _build_group_ft_step(self):
+        """Masked task-loss fine-tune step used between list groups."""
+        import optax
+        helper = self.model_helper
+        model = self.model
+        augment = self.dataset_train.augment
+        tx = optax.sgd(learning_rate=FLAGS.cp_lrn_rate_ft, momentum=FLAGS.momentum)
+        spec_paths = [s['path'] for s in self.specs]
+
+        @jax.jit
+        def opt_init(params):
+            return tx.init(params)
+
+        @jax.jit
+        def step(params, bstats, masks, opt_state, batch, rng):
+            images = augment(batch['image'], rng, True)
+            labels = batch['label']
+
+            def loss_fn(pp):
+                variables = {'params': pp, 'batch_stats': bstats}
+                outputs, new_mstate = helper.forward_train(model, variables, images)
+                loss, _ = helper.calc_loss(labels, outputs, pp)
+                return loss, new_mstate.get('batch_stats', bstats)
+
+            grads, new_bstats = jax.grad(loss_fn, has_aux=True)(params)
+            grads = masking.mask_gradients(grads, masks)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params = masking.apply_masks(params, masks)
+            return params, new_bstats, opt_state
+
+        return {'opt_init': opt_init, 'step': step, 'spec_paths': spec_paths}
+
+    def _group_finetune(self, group_step, params, bstats, chn_masks, train_iter):
+        """Run cp_list_group masked finetune iters on the partially pruned net."""
+        def mk(path, leaf):
+            pstr = masking.path_str(path)
+            for spec in self.specs:
+                if pstr == spec['path'] + '/kernel' and spec['path'] in chn_masks:
+                    return jnp.asarray(chn_masks[spec['path']].reshape(1, 1, -1, 1))
+            return jnp.ones((), jnp.float32)
+
+        dev_params = jax.device_put(params)
+        masks = jax.tree_util.tree_map_with_path(mk, dev_params)
+        opt_state = group_step['opt_init'](dev_params)
+        nb_iters = max(1, FLAGS.cp_list_group // max(1, self.nb_workers) //
+                       max(1, len(self.specs)))
+        rng = self.next_rng()
+        for i in range(nb_iters):
+            dev_params, bstats, opt_state = group_step['step'](
+                dev_params, bstats, masks, opt_state, next(train_iter),
+                jax.random.fold_in(rng, i))
+        return jax.device_get(dev_params), bstats
 
     # ------------------------------------------------------------------
     # AMC auto mode (reference __prune_and_finetune_auto/__prune_rl)
