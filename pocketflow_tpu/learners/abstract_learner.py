@@ -226,6 +226,19 @@ class AbstractLearner(ABC):
     # loops
     # ------------------------------------------------------------------
 
+    def put_batch(self, batch):
+        """Place a host-local batch onto the global mesh, batch-sharded.
+
+        Single process: plain (async) device_put.  Multi-host: every process
+        holds its own shard (the dataset shards by jax.process_index()), so
+        assemble the global array from process-local data — the DCN-side
+        replacement for the reference's per-rank tf.data shards."""
+        if jax.process_count() == 1:
+            return jax.device_put(batch, self.batch_sharding)
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                self.batch_sharding, np.asarray(x)), batch)
+
     def device_prefetch(self, iterator: Iterator, depth: int = 2) -> Iterator:
         """Overlap host->device batch copies with compute: keep `depth`
         batches in flight on the device (device_put is async) so the chip
@@ -234,8 +247,7 @@ class AbstractLearner(ABC):
         import collections
         buf = collections.deque()
 
-        def put(batch):
-            return jax.device_put(batch, self.batch_sharding)
+        put = self.put_batch
 
         for _ in range(depth):
             buf.append(put(next(iterator)))
@@ -289,7 +301,7 @@ class AbstractLearner(ABC):
             nb_batches = max(1, nb_smpls // self.dataset_eval.batch_size)
         totals: Dict[str, float] = {}
         for _ in range(nb_batches):
-            metrics = jax.device_get(eval_step(state, next(iterator)))
+            metrics = jax.device_get(eval_step(state, self.put_batch(next(iterator))))
             for key, value in metrics.items():
                 if np.ndim(value) == 0:
                     totals[key] = totals.get(key, 0.0) + float(value)

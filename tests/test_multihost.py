@@ -1,0 +1,84 @@
+"""Multi-host (2-process jax.distributed) integration test — the DCN path.
+
+SURVEY §2.6: the reference's multi-GPU coverage is manual `-n=2` cluster
+runs; here two real processes connect through jax.distributed (gloo on CPU),
+build one global 4-device mesh (2 procs x 2 local devices), train the tiny
+ConvNet data-parallel with process-sharded data, and must agree bit-for-bit
+on the replicated loss — validating distributed_init, per-process dataset
+sharding, make_array_from_process_local_data batch assembly, auto_barrier,
+and broadcast_from_primary.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+_WORKER = textwrap.dedent('''
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                               num_processes=2, process_id=pid)
+    sys.path.insert(0, %(repo)r)
+    import pocketflow_tpu
+    from pocketflow_tpu.config import FLAGS
+    FLAGS.override(synthetic_data=True, compute_dtype="float32",
+                   batch_size=4, batch_size_eval=4, nb_smpls_train=128,
+                   nb_smpls_eval=32, nb_epochs_rat=0.01, lrn_rate_init=0.05,
+                   summ_step=1000, save_step=10**6, rand_seed=0,
+                   enbl_native_loader=False,
+                   save_path="/tmp/pf_mh_%%d/models/model.ckpt" %% pid,
+                   log_dir="/tmp/pf_mh_%%d/logs" %% pid)
+    from pocketflow_tpu.core import mesh as mesh_lib
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+    assert jax.process_count() == 2 and jax.device_count() == 4
+    learner = FullPrecLearner(None, ModelHelper())
+    assert learner.nb_workers == 4 and learner.global_batch_size == 16
+    state, tx, _ = learner.init_state()
+    step = learner.build_train_step(tx)
+    it = learner.dataset_train.build()
+    import jax.numpy as jnp
+    for i in range(3):
+        batch = learner.put_batch(next(it))
+        state, m = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(3), i))
+    acc = float(jax.device_get(m["accuracy"]))
+    # control-plane utilities
+    learner.auto_barrier()
+    val = mesh_lib.broadcast_from_primary(jnp.asarray(acc if pid == 0 else 0.0))
+    print("RESULT", pid, acc, float(jax.device_get(val)), flush=True)
+''')
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = '29517'
+    script = _WORKER % {'repo': repo}
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    procs = [subprocess.Popen([sys.executable, '-c', script, str(i), port],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith('RESULT'):
+                _, pid, acc, bcast = line.split()
+                results[int(pid)] = (float(acc), float(bcast))
+    assert set(results) == {0, 1}
+    # replicated metrics agree across processes; broadcast delivered rank-0's
+    assert results[0][0] == pytest.approx(results[1][0], abs=1e-6)
+    assert results[1][1] == pytest.approx(results[0][0], abs=1e-6)
