@@ -205,11 +205,20 @@ class PFDepthwiseConv(nn.Module):
             'kernel', self.kernel_init, (*self.kernel_size, 1, channels), jnp.float32)
         x = _apply_input_hooks(self, x)
         kernel = _apply_weight_hooks(self, kernel)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=self.strides, padding=self.padding,
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            feature_group_count=channels)
+
+        def conv_fn(xv, kv, acc_dtype=None):
+            return jax.lax.conv_general_dilated(
+                xv, kv, window_strides=self.strides, padding=self.padding,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                feature_group_count=channels,
+                **({'preferred_element_type': acc_dtype} if acc_dtype else {}))
+
+        y = None
+        policy = current_policy()
+        if policy is not None:
+            y = policy.run_contraction(_path_of(self), x, kernel, conv_fn)
+        if y is None:
+            y = conv_fn(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param('bias', nn.initializers.zeros, (channels,), jnp.float32)
             y = y + bias.astype(y.dtype)

@@ -93,6 +93,40 @@ class Int8ServingPolicy(CompressionPolicy):
                              jnp.float32(self.act_scales[path]), contract_fn)
 
 
+def verify_quant_coverage(model, variables, sample_images,
+                          weight_q, act_scales) -> Dict[str, list]:
+    """Check every conv/dense contraction has int8 weights + an act scale.
+
+    The reference achieves this with an iterative TFLite-export probe loop
+    (uniform_quantization_tf/utils.py:226-295: parse toco's error text, patch
+    MovingAvgQuantize nodes, retry); here it is a direct structural check of
+    the trace.  Returns {'unquantized_weights': [...], 'uncalibrated': [...]}
+    — both empty when the deployment is fully int8."""
+    from pocketflow_tpu.learners.capture import CapturePolicy
+
+    class SiteRecorder(CapturePolicy):
+        def __init__(self):
+            super().__init__()
+            self.sites = []
+
+        def process_weight(self, path, kernel):
+            self.sites.append(path)
+            return kernel
+
+    recorder = SiteRecorder()
+
+    def fwd(v, x):
+        with compression(recorder):
+            model.apply(v, x, train=False)
+        return ()
+
+    jax.eval_shape(fwd, variables,
+                   jax.ShapeDtypeStruct(sample_images.shape, jnp.float32))
+    missing_w = [p for p in recorder.sites if p not in weight_q]
+    missing_a = [p for p in recorder.sites if p not in act_scales]
+    return {'unquantized_weights': missing_w, 'uncalibrated': missing_a}
+
+
 def quantize_model_weights(params, skip_paths=()):
     """Quantize every conv/dense kernel (except skip_paths) for serving.
 

@@ -64,3 +64,40 @@ def test_quantized_latency_benchmark_runs():
     assert result['float']['latency_ms'] > 0
     assert result['int8']['latency_ms'] > 0
     assert result['speedup'] > 0
+
+
+def test_quant_coverage_verification():
+    """Every contraction site must be covered (the probe-loop analogue)."""
+    from pocketflow_tpu.nets.mobilenet import MobileNetV1
+    model = MobileNetV1(nb_classes=10, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+    act_scales = int8_ops.calibrate(model, dict(variables), [x])
+    weight_q = int8_ops.quantize_model_weights(variables['params'])
+    report = int8_ops.verify_quant_coverage(
+        model, dict(variables), x, weight_q, act_scales)
+    assert report['unquantized_weights'] == []
+    assert report['uncalibrated'] == []
+    # dropping one layer's scales must be detected
+    some = next(iter(weight_q))
+    report = int8_ops.verify_quant_coverage(
+        model, dict(variables), x, {k: v for k, v in weight_q.items() if k != some},
+        act_scales)
+    assert report['unquantized_weights'] == [some]
+
+
+def test_int8_depthwise_serving():
+    """Depthwise convs also run int8 (MobileNet serving path)."""
+    from pocketflow_tpu.nets.mobilenet import MobileNetV1
+    model = MobileNetV1(nb_classes=10, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3)) * 0.3
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+    ref = np.asarray(model.apply(variables, x, train=False))
+    act_scales = int8_ops.calibrate(model, dict(variables), [x])
+    weight_q = int8_ops.quantize_model_weights(variables['params'])
+    assert any('/dw' in p or p.endswith('dw') for p in weight_q)
+    policy = int8_ops.Int8ServingPolicy(weight_q, act_scales)
+    with compression(policy):
+        out = np.asarray(model.apply(variables, x, train=False))
+    rel = np.abs(out - ref) / (np.abs(ref).max() + 1e-6)
+    assert rel.max() < 0.35, rel.max()  # bf16-free int8 path stays close
