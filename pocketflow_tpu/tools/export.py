@@ -60,6 +60,75 @@ def shrink_channel_pruned(params) -> Tuple[Dict[str, Any], Dict[str, Any]]:
 
 
 # ---------------------------------------------------------------------------
+# batch-norm folding (the TFLite-converter step the reference relies on)
+# ---------------------------------------------------------------------------
+
+def fold_batch_norm(params, batch_stats, epsilon: float = 1e-5):
+    """Fold inference-mode BN into the preceding conv/dense kernels.
+
+    W' = W * gamma / sqrt(var + eps) (per output channel);
+    b' = beta - mean * gamma / sqrt(var + eps) (+ folded old bias).
+    BN params collapse to identity so the same model definition serves the
+    folded checkpoint unchanged.  Pairing is by the zoo naming convention:
+    'convX'<->'bnX', 'conv_init'<->'bn_init', 'dw'<->'bn_dw', 'pw'<->'bn_pw',
+    'pw_expand'<->'bn_expand', 'pw_project'<->'bn_project', 'pw_head'<->'bn_head'.
+
+    Returns (params, batch_stats) as new host trees.
+    """
+    import copy
+    params = copy.deepcopy(jax.device_get(params))
+    batch_stats = copy.deepcopy(jax.device_get(batch_stats))
+
+    def bn_name_for(conv_name: str):
+        if conv_name.startswith('conv'):
+            return 'bn' + conv_name[len('conv'):]
+        if conv_name.startswith('pw_'):
+            return 'bn_' + conv_name[len('pw_'):]
+        if conv_name in ('dw', 'pw'):
+            return 'bn_' + conv_name
+        return None
+
+    def walk(pnode, snode):
+        if not isinstance(pnode, dict):
+            return
+        for name in list(pnode.keys()):
+            child = pnode[name]
+            if not isinstance(child, dict):
+                continue
+            bn_name = bn_name_for(name)
+            if ('kernel' in child and bn_name and bn_name in pnode
+                    and isinstance(snode, dict) and bn_name in snode):
+                bn_p = pnode[bn_name].get('bn', pnode[bn_name])
+                bn_s = snode[bn_name].get('bn', snode[bn_name])
+                gamma = np.asarray(bn_p.get('scale', 1.0), np.float32)
+                beta = np.asarray(bn_p.get('bias', 0.0), np.float32)
+                mean = np.asarray(bn_s['mean'], np.float32)
+                var = np.asarray(bn_s['var'], np.float32)
+                factor = gamma / np.sqrt(var + epsilon)
+                kernel = np.asarray(child['kernel'], np.float32)
+                # BN_eval(conv(x;W)+b) == conv(x;W*f) + beta + (b-mean)*f:
+                # the scale folds into the kernel, the shift into BN's beta
+                # (our convs are bias-free, so BN keeps carrying the shift —
+                # same model definition serves the folded checkpoint)
+                child['kernel'] = (kernel * factor).astype(kernel.dtype)
+                old_bias = np.asarray(child.get('bias', 0.0), np.float32)
+                if 'bias' in child:
+                    child['bias'] = np.zeros_like(old_bias)
+                if 'bias' in bn_p:
+                    bn_p['bias'] = (beta + (old_bias - mean) * factor
+                                    ).astype(np.float32)
+                if 'scale' in bn_p:
+                    bn_p['scale'] = np.ones_like(gamma)
+                bn_s['mean'] = np.zeros_like(mean)
+                # var' = 1 - eps so the residual BN's 1/sqrt(var'+eps) == 1
+                bn_s['var'] = np.full_like(var, 1.0 - epsilon)
+            walk(child, snode.get(name, {}) if isinstance(snode, dict) else {})
+
+    walk(params, batch_stats)
+    return params, batch_stats
+
+
+# ---------------------------------------------------------------------------
 # quantized export: integer packing
 # ---------------------------------------------------------------------------
 
