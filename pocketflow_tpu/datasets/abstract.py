@@ -116,6 +116,14 @@ class AbstractDataset(ABC):
         del rng, is_train
         return images.astype(np.float32) / 255.0
 
+    def augment_batch(self, batch, rng: jax.Array, is_train: bool):
+        """On-device augmentation of the WHOLE batch (images + labels).
+
+        Classification datasets transform images only; detection datasets
+        override this to keep boxes consistent with geometric transforms
+        (e.g. horizontal flips mirror box coordinates)."""
+        return {**batch, 'image': self.augment(batch['image'], rng, is_train)}
+
     # -- synthetic fallback ---------------------------------------------------
 
     def synthesize_arrays(self, nb_smpls: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:

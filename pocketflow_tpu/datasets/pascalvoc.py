@@ -101,9 +101,40 @@ class PascalVocDataset(AbstractDataset):
         return images, labels
 
     def augment(self, images, rng, is_train):
-        # reference uses SSD preprocessing (color jitter + crop); round-1
-        # parity keeps the normalization path (mean-subtract, VGG-style)
         import jax.numpy as jnp
         images = images.astype(jnp.float32)
         mean = jnp.asarray([123.0, 117.0, 104.0][:images.shape[-1]])
         return images - mean
+
+    def augment_batch(self, batch, rng, is_train):
+        """SSD-style on-device train augmentation with box-consistent
+        geometry: per-image horizontal flip (boxes mirrored) + photometric
+        jitter (brightness/contrast), then VGG mean-subtract.  The reference
+        runs its SSD preprocessing (color distort + crop) on host CPUs inside
+        tf.data (utils/external/ssd_tensorflow/preprocessing); here it rides
+        the VPU inside the jitted step."""
+        import jax
+        import jax.numpy as jnp
+        images = batch['image'].astype(jnp.float32)
+        labels = batch['label'].astype(jnp.float32)
+        if is_train:
+            k_flip, k_bri, k_con = jax.random.split(rng, 3)
+            b = images.shape[0]
+            flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+            flipped = images[:, :, ::-1, :]
+            images = jnp.where(flip[:, None, None, None], flipped, images)
+            # mirror xmin/xmax: x' = 1 - x (swap the pair)
+            xmin, xmax = labels[..., 2], labels[..., 4]
+            new_xmin = jnp.where(flip[:, None], 1.0 - xmax, xmin)
+            new_xmax = jnp.where(flip[:, None], 1.0 - xmin, xmax)
+            labels = labels.at[..., 2].set(new_xmin).at[..., 4].set(new_xmax)
+            # photometric jitter (valid-only; zero-padded boxes unaffected)
+            brightness = jax.random.uniform(k_bri, (b, 1, 1, 1), minval=-16.0,
+                                            maxval=16.0)
+            contrast = jax.random.uniform(k_con, (b, 1, 1, 1), minval=0.8,
+                                          maxval=1.2)
+            mean_pix = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
+            images = (images - mean_pix) * contrast + mean_pix + brightness
+            images = jnp.clip(images, 0.0, 255.0)
+        mean = jnp.asarray([123.0, 117.0, 104.0][:images.shape[-1]])
+        return {**batch, 'image': images - mean, 'label': labels}

@@ -163,10 +163,11 @@ class AbstractLearner(ABC):
         """
         helper = self.model_helper
         model = self.model
-        augment = self.dataset_train.augment
+        augment_batch = self.dataset_train.augment_batch
 
         def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
-            images = augment(batch['image'], rng, True)
+            batch = augment_batch(batch, rng, True)
+            images = batch['image']
             labels = batch['label']
             policy = policy_fn(state) if policy_fn is not None else None
 
@@ -205,10 +206,11 @@ class AbstractLearner(ABC):
     def build_eval_step(self, policy_fn=None):
         helper = self.model_helper
         model = self.model
-        augment = self.dataset_eval.augment
+        augment_batch = self.dataset_eval.augment_batch
 
         def step_fn(state: TrainState, batch):
-            images = augment(batch['image'], jax.random.PRNGKey(0), False)
+            batch = augment_batch(batch, jax.random.PRNGKey(0), False)
+            images = batch['image']
             labels = batch['label']
             policy = policy_fn(state) if policy_fn is not None else None
             variables = {'params': state.params, 'batch_stats': state.batch_stats}
