@@ -95,10 +95,42 @@ def dynamic_prune_ratio(step: jax.Array, nb_iters_train: int,
     return prune_ratio_fnl * (1.0 - jnp.power(1.0 - base, FLAGS.ws_prune_ratio_exp))
 
 
+# above this size, find the percentile threshold by bisection (compare+count
+# passes) instead of jnp.quantile's full sort — O(26 n) streaming reads vs
+# O(n log n) sort on multi-million-element kernels, and far less scratch
+_BISECT_MIN_SIZE = 1 << 16
+
+
+def percentile_threshold_bisect(mag: jax.Array, prune_ratio: jax.Array,
+                                nb_iters: int = 26) -> jax.Array:
+    """Threshold t such that the fraction of |w| <= t approximates
+    prune_ratio, by bisection on [0, max] — each iteration is one fused
+    compare+count pass over the tensor (the 'fused mask-update kernel'
+    SURVEY.md §2 calls for; a sort would thrash HBM on big kernels)."""
+    flat = mag.reshape(-1).astype(jnp.float32)
+    n = flat.shape[0]
+    target = jnp.clip(prune_ratio, 0.0, 1.0) * n
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = (lo + hi) * 0.5
+        count = jnp.sum(flat <= mid)
+        lo = jnp.where(count < target, mid, lo)
+        hi = jnp.where(count < target, hi, mid)
+        return (lo, hi)
+
+    lo, hi = jax.lax.fori_loop(0, nb_iters, body,
+                               (jnp.float32(0.0), jnp.max(flat)))
+    return (lo + hi) * 0.5
+
+
 def percentile_mask(weights: jax.Array, prune_ratio: jax.Array) -> jax.Array:
     """mask = |w| > percentile(|w|, prune_ratio*100) (learner.py:285-287)."""
     mag = jnp.abs(weights.astype(jnp.float32))
-    thres = jnp.quantile(mag.reshape(-1), jnp.clip(prune_ratio, 0.0, 1.0))
+    if mag.size >= _BISECT_MIN_SIZE:
+        thres = percentile_threshold_bisect(mag, prune_ratio)
+    else:
+        thres = jnp.quantile(mag.reshape(-1), jnp.clip(prune_ratio, 0.0, 1.0))
     return (mag > thres).astype(jnp.float32)
 
 

@@ -131,3 +131,19 @@ def test_pr_optimizer_optimal_ddpg_rollouts(tmp_path):
         nb = np.array([np.prod(s) for s in shapes], np.float64)
         overall = np.sum(nb * ratios) / np.sum(nb)
         assert overall >= 0.5 - 0.01
+
+
+def test_bisect_threshold_matches_quantile():
+    """Bisection threshold hits the target sparsity on big tensors."""
+    from pocketflow_tpu.learners.weight_sparsification import masking
+    w = jax.random.normal(jax.random.PRNGKey(5), (512, 300))  # > _BISECT_MIN_SIZE
+    assert w.size >= masking._BISECT_MIN_SIZE
+    for ratio in (0.25, 0.5, 0.9):
+        mask = masking.percentile_mask(w, jnp.asarray(ratio))
+        sparsity = 1.0 - float(jnp.mean(mask))
+        assert sparsity == pytest.approx(ratio, abs=2e-3), (ratio, sparsity)
+    # threshold value itself matches the sort-based quantile closely
+    mag = jnp.abs(w)
+    t_bisect = float(masking.percentile_threshold_bisect(mag, jnp.asarray(0.5)))
+    t_sort = float(jnp.quantile(mag.reshape(-1), 0.5))
+    assert t_bisect == pytest.approx(t_sort, rel=1e-3)
