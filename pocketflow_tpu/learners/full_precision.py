@@ -46,4 +46,14 @@ class FullPrecLearner(AbstractLearner):
         if restored is None:
             raise FileNotFoundError('no checkpoint found under ' + FLAGS.save_path)
         eval_step = self.build_eval_step()
-        return self.run_eval_loop(restored, eval_step)
+        metrics = self.run_eval_loop(restored, eval_step)
+        # detection helpers add VOC mAP through the dump_n_eval protocol
+        # (reference: evaluate() -> dump_n_eval('init'/'dump'/'eval'))
+        if hasattr(self.model_helper, 'evaluate_map'):
+            nb_batches = max(1, min(
+                8, self.dataset_eval.spec.nb_smpls_eval // self.dataset_eval.batch_size))
+            map_metrics = self.model_helper.evaluate_map(
+                self.model, restored, self.dataset_eval, nb_batches=nb_batches)
+            self.log.info('detection eval: mAP = %.4f', map_metrics.get('mAP', 0.0))
+            metrics = {**metrics, **map_metrics}
+        return metrics
