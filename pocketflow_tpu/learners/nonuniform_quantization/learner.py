@@ -84,6 +84,7 @@ class NonUniformQuantLearner(AbstractLearner):
         state = state.replace(extra=extra)
         schedule, self.finetune_steps = self.quant_schedule()
         tx = optax.sgd(learning_rate=schedule, momentum=FLAGS.momentum)
+        self._tx = tx
         opt_state = jax.jit(tx.init, out_shardings=self.repl_sharding)(
             (state.params, state.extra['codebooks']))
         state = state.replace(opt_state=opt_state)
@@ -100,9 +101,18 @@ class NonUniformQuantLearner(AbstractLearner):
         return jax.jit(build, out_shardings=self.repl_sharding)(params)
 
     def set_bits(self, state: TrainState, w_bit_list, a_bit_list) -> TrainState:
-        """Re-derive codebooks from current params at new bit-widths."""
-        return state.replace(
-            extra=self._build_extra(state.params, w_bit_list, a_bit_list))
+        """Re-derive codebooks from current params at new bit-widths.
+
+        Codebook shapes depend on k = 2^bits, so the optimizer state over
+        (params, codebooks) must be rebuilt too (the momentum trace for the
+        old codebook shapes cannot apply to the new ones)."""
+        extra = self._build_extra(state.params, w_bit_list, a_bit_list)
+        state = state.replace(extra=extra)
+        if getattr(self, '_tx', None) is not None:
+            opt_state = jax.jit(self._tx.init, out_shardings=self.repl_sharding)(
+                (state.params, extra['codebooks']))
+            state = state.replace(opt_state=opt_state)
+        return state
 
     # ------------------------------------------------------------------
     # train step: params AND codebooks both receive gradients; opt_mode

@@ -59,3 +59,24 @@ def test_weight_sparse_on_ssd_detection(tmp_path):
         pr = float(jax.device_get(masking.calc_prune_ratio(
             state.params, maskable_only=True)))
         assert pr == pytest.approx(0.5, abs=0.05), pr
+
+
+@pytest.mark.slow
+def test_nuq_rl_bit_search(tmp_path):
+    """NUQ + DDPG bit search: codebook shapes change per roll-out (k=2^bits);
+    the jitted programs must retrace cleanly and respect the budget."""
+    from pocketflow_tpu.learners.nonuniform_quantization.learner import NonUniformQuantLearner
+    from pocketflow_tpu.learners.uniform_quantization.bit_optimizer import BitOptimizer
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+    with FLAGS.scope(batch_size=16, nb_smpls_train=256, nb_smpls_eval=64,
+                     batch_size_eval=16, nb_epochs_rat=0.01, lrn_rate_init=0.05,
+                     nuql_enbl_rl_agent=True, nuql_nb_rlouts=2,
+                     nuql_tune_global_steps=2, nuql_equivalent_bits=4,
+                     nuql_quantize_all_layers=True, nuql_opt_mode='both'):
+        learner = NonUniformQuantLearner(None, ModelHelper())
+        state, _, _ = learner.init_state_quant()
+        w_bits, a_bits = BitOptimizer(learner, state, prefix='nuql').run()
+        assert len(w_bits) == 4
+        num_weights = learner.statistics['num_weights']
+        total_bits = sum(n * b for n, b in zip(num_weights, w_bits))
+        assert total_bits <= sum(num_weights) * 4 + max(num_weights)
