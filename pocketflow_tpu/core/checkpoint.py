@@ -22,7 +22,55 @@ from typing import Any, Optional
 import jax
 from flax import serialization
 
+from pocketflow_tpu.config import FLAGS
+
+FLAGS.DEFINE_string('ckpt_backend', 'msgpack',
+                    "checkpoint backend: 'msgpack' (sync, single file) | "
+                    "'orbax' (async, sharded-array aware)")
+
 INDEX_FILE = 'checkpoint'
+
+
+# -- orbax backend (async save for big / sharded models) -----------------------
+
+_ORBAX_MANAGERS = {}
+
+
+def _orbax_manager(save_dir: str):
+    import orbax.checkpoint as ocp
+    if save_dir not in _ORBAX_MANAGERS:
+        _ORBAX_MANAGERS[save_dir] = ocp.CheckpointManager(
+            os.path.abspath(save_dir),
+            options=ocp.CheckpointManagerOptions(max_to_keep=5,
+                                                 enable_async_checkpointing=True))
+    return _ORBAX_MANAGERS[save_dir]
+
+
+def _orbax_save(save_path: str, state: Any, step: int) -> str:
+    import orbax.checkpoint as ocp
+    save_dir = os.path.dirname(save_path) or '.'
+    os.makedirs(save_dir, exist_ok=True)
+    mgr = _orbax_manager(save_dir)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    return os.path.join(save_dir, str(step))
+
+
+def _orbax_restore_latest(save_path: str, target: Any) -> Optional[Any]:
+    import orbax.checkpoint as ocp
+    save_dir = os.path.dirname(save_path) or '.'
+    if not os.path.isdir(save_dir):
+        return None
+    mgr = _orbax_manager(save_dir)
+    step = mgr.latest_step()
+    if step is None:
+        return None
+    return mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+
+def wait_for_async_saves():
+    """Block until in-flight orbax async saves complete (call before exit)."""
+    for mgr in _ORBAX_MANAGERS.values():
+        mgr.wait_until_finished()
 
 
 def _index_path(save_dir: str) -> str:
@@ -35,6 +83,8 @@ def _ckpt_path(save_path: str, step: int) -> str:
 
 def save(save_path: str, state: Any, step: int) -> str:
     """Save a pytree under `<save_path>-<step>.msgpack`, update the index."""
+    if FLAGS.get('ckpt_backend', 'msgpack') == 'orbax':
+        return _orbax_save(save_path, state, step)
     save_dir = os.path.dirname(save_path) or '.'
     os.makedirs(save_dir, exist_ok=True)
     state = jax.device_get(state)
@@ -74,6 +124,8 @@ def restore(path: str, target: Any) -> Any:
 
 def restore_latest(save_path: str, target: Any) -> Optional[Any]:
     """Restore the newest checkpoint next to `save_path`, or None if absent."""
+    if FLAGS.get('ckpt_backend', 'msgpack') == 'orbax':
+        return _orbax_restore_latest(save_path, target)
     path = latest_checkpoint(os.path.dirname(save_path) or '.')
     if path is None:
         return None

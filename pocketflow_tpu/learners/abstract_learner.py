@@ -291,6 +291,7 @@ class AbstractLearner(ABC):
         profiler.close()
         if self.is_primary_worker():
             self.save_model(state, save_path)
+            ckpt_lib.wait_for_async_saves()  # orbax backend: flush before exit
         self.auto_barrier()
         return state
 
