@@ -20,8 +20,10 @@ from pocketflow_tpu.nn.layers import CompressionPolicy
 from pocketflow_tpu.ops import fake_quant as fq
 from pocketflow_tpu.ops import nonuniform_quant as nuq
 
-FLAGS.DEFINE_string('nuql_init_style', 'quantile',
-                    "NUQL: codebook init ('quantile' | 'uniform')")
+FLAGS.DEFINE_string('nuql_init_style', 'kmeans',
+                    "NUQL: codebook init ('kmeans' = quantile + Lloyd "
+                    "refinement, the default — strictly better tail coverage "
+                    "| 'quantile' (reference parity) | 'uniform')")
 FLAGS.DEFINE_string('nuql_opt_mode', 'weights',
                     "NUQL: trainable set ('weights' | 'cluster' | 'both')")
 FLAGS.DEFINE_integer('nuql_weight_bits', 4, 'NUQL: weight quantization bits')
