@@ -94,6 +94,37 @@ def run_sweep(workdir=None, quick=False):
         results['non-uniform@4bit'] = learner.run_eval_loop(
             state, learner.build_quant_eval_step())['accuracy']
 
+    # 7. LASSO channel pruning (He-2017) @ 60% preserve, uniform
+    with FLAGS.scope(cp_prune_option='uniform', cp_uniform_preserve_ratio=0.6,
+                     cp_nb_batches=6, cp_nb_points_per_layer=8,
+                     cp_nb_iters_ft_ratio=0.3,
+                     cp_channel_pruned_path=os.path.join(workdir, 'cp/model.ckpt')):
+        learner = create_learner(None, ModelHelper(), learner_name='channel')
+        state = learner.train()
+        results['channel@60%'] = learner.run_eval_loop(
+            state, learner.build_eval_step())['accuracy']
+
+    # 8. remastered channel pruning @ 50%
+    with FLAGS.scope(cpr_prune_ratio=0.5, cpr_skip_frst_layer=True,
+                     cpr_nb_smpls=512, cpr_nb_crops_per_smpl=6,
+                     cpr_ista_nb_iters=60, cpr_lstsq_nb_iters=60,
+                     cp_nb_batches=6,
+                     cpr_save_path=os.path.join(workdir, 'cpr/model.ckpt')):
+        learner = create_learner(None, ModelHelper(), learner_name='chn-pruned-rmt')
+        state = learner.train()
+        results['chn-pruned-rmt@50%'] = learner.run_eval_loop(
+            state, learner.build_eval_step())['accuracy']
+
+    # 9. discrimination-aware channel pruning @ 50%
+    with FLAGS.scope(dcp_prune_ratio=0.5, dcp_nb_stages=2,
+                     dcp_nb_iters_block=20 if quick else 40,
+                     dcp_nb_iters_layer=1 if quick else 2,
+                     dcp_save_path=os.path.join(workdir, 'dcp/model.ckpt')):
+        learner = create_learner(None, ModelHelper(), learner_name='dis-chn-pruned')
+        state = learner.train()
+        results['dis-chn-pruned@50%'] = learner.run_eval_loop(
+            state, learner.build_eval_step())['accuracy']
+
     return results
 
 

@@ -89,3 +89,35 @@ def test_pendulum_env_dynamics():
     obs, reward = env.step(np.asarray([[0.5]]))
     assert obs.shape == (1, 3) and reward.shape == (1, 1)
     assert float(reward) <= 0.0
+
+
+def test_adapt_noise_protocol():
+    """'adapt' noise: stdev shrinks when action distance exceeds the target,
+    grows when below (reference noise.py:38-60 + agent.py:345-374)."""
+    with FLAGS.scope(ddpg_noise_prtl='adapt', ddpg_noise_type='param',
+                     ddpg_noise_std_init=1.0, ddpg_noise_dst_finl=1e-2,
+                     ddpg_noise_adpt_rat=1.05, ddpg_batch_size=8):
+        agent = DdpgAgent(s_dims=3, a_dims=1, nb_rlouts=10, buf_size=16,
+                          a_min=0.0, a_max=1.0, seed=0)
+        agent.init()
+        # fill the buffer so train() runs the adapt step
+        for _ in range(20):
+            s = np.random.default_rng(0).normal(size=(1, 3)).astype(np.float32)
+            agent.record(s, np.zeros((1, 1)), np.zeros(1), np.zeros(1), s)
+        std0 = agent.noise_spec.stdev_curr
+        agent.train()
+        assert agent.noise_spec.stdev_curr != std0  # adapted either way
+
+
+def test_replay_buffer_ring_and_ready():
+    from pocketflow_tpu.rl_agents.ddpg.replay_buffer import ReplayBuffer
+    buf = ReplayBuffer(s_dims=2, a_dims=1, buf_size=8, seed=0)
+    assert not buf.is_ready
+    for i in range(12):  # wraps around the ring
+        buf.append(np.full((1, 2), i, np.float32), np.zeros((1, 1)),
+                   np.asarray([float(i)]), np.zeros(1), np.zeros((1, 2)))
+    assert buf.is_ready
+    batch = buf.sample(4)
+    assert batch['states'].shape == (4, 2)
+    # the ring keeps only the newest 8: rewards must be >= 4
+    assert np.all(batch['rewards'] >= 4)
