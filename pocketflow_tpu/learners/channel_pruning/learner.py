@@ -311,7 +311,11 @@ class ChannelPrunedLearner(AbstractLearner):
                 idx_rlout, reward, best_reward,
                 rl_helper.preserved_flops() / rl_helper.total_flops,
                 np.round(ratios, 3).tolist())
-        return best_ratios
+        # multi-host: process 0's search decision wins (collective sync)
+        from pocketflow_tpu.core import mesh as mesh_lib
+        arr = mesh_lib.broadcast_from_primary(
+            jnp.asarray(best_ratios, jnp.float32))
+        return [float(r) for r in np.asarray(jax.device_get(arr))]
 
     # ------------------------------------------------------------------
     # lifecycle

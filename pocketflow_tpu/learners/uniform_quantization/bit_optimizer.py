@@ -151,6 +151,13 @@ class BitOptimizer:
             self.log.info('rlout #%d: bits=%s reward=%.4f (best=%.4f)',
                           idx_rlout, w_bit_list, float(reward[0][0]), reward_opt)
 
+        # multi-host: broadcast process 0's decision (replaces the
+        # reference's arranged_layer_bits.txt + barrier sync, :159-194)
+        from pocketflow_tpu.core import mesh as mesh_lib
+        import jax.numpy as _jnp
+        arr = mesh_lib.broadcast_from_primary(
+            _jnp.asarray(w_bits_opt, _jnp.float32))
+        w_bits_opt = [int(b) for b in np.asarray(jax.device_get(arr))]
         return w_bits_opt, fp_a_bits
 
     # ------------------------------------------------------------------

@@ -169,7 +169,15 @@ class PROptimizer:
                 'rlout #%d: reward=%.4f (best=%.4f, overall pr=%.4f)',
                 idx_rlout, reward, reward_best, rl_helper.calc_overall_prune_ratio())
 
-        return [(p, float(ratios_best[p])) for p in paths]
+        # multi-host: processes see different data shards, so roll-out
+        # rewards (hence best ratios) can diverge — process 0's decision wins
+        # (the collective replacement for the reference's rank-0 text files,
+        # pr_optimizer.py:429-445)
+        from pocketflow_tpu.core import mesh as mesh_lib
+        arr = mesh_lib.broadcast_from_primary(
+            jnp.asarray([ratios_best[p] for p in paths], jnp.float32))
+        arr = np.asarray(jax.device_get(arr))
+        return [(p, float(arr[i])) for i, p in enumerate(paths)]
 
     # ------------------------------------------------------------------
 
