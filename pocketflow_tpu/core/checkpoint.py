@@ -132,6 +132,59 @@ def restore_latest(save_path: str, target: Any) -> Optional[Any]:
     return restore(path, target)
 
 
+def restore_intersecting(save_path: str, params, subtree: str = 'params',
+                         prefix_map: Optional[dict] = None):
+    """Copy every leaf from the newest checkpoint whose path AND shape match
+    into `params`; everything else keeps its current value.
+
+    The functional analogue of the reference's warm-start-with-renaming
+    restores (nets/vgg_at_pascalvoc.py:479-552): a detection backbone absorbs
+    the conv weights of a classification checkpoint by name intersection.
+    `prefix_map` optionally rewrites source prefixes ('model/' -> 'vgg/').
+    Returns (params, nb_restored_leaves).
+    """
+    import numpy as np
+    path = latest_checkpoint(os.path.dirname(save_path) or '.')
+    if path is None:
+        return params, 0
+    with open(path, 'rb') as fin:
+        raw = serialization.msgpack_restore(fin.read())
+    src = raw.get(subtree, raw)
+
+    def flatten(node, prefix=''):
+        out = {}
+        if isinstance(node, dict):
+            for key, value in node.items():
+                out.update(flatten(value, prefix + key + '/'))
+        else:
+            out[prefix[:-1]] = node
+        return out
+
+    flat_src = flatten(src)
+    if prefix_map:
+        remapped = {}
+        for key, value in flat_src.items():
+            for old, new in prefix_map.items():
+                if key.startswith(old):
+                    key = new + key[len(old):]
+                    break
+            remapped[key] = value
+        flat_src = remapped
+
+    count = [0]
+
+    def graft(path_entries, leaf):
+        key = '/'.join(str(getattr(p, 'key', p)) for p in path_entries)
+        cand = flat_src.get(key)
+        if cand is not None and tuple(np.shape(cand)) == tuple(leaf.shape):
+            count[0] += 1
+            return jax.numpy.asarray(cand, dtype=leaf.dtype)
+        return leaf
+
+    params = jax.tree_util.tree_map_with_path(graft, params)
+    return params, count[0]
+
+
 def restore_fields(save_path: str, targets: dict) -> Optional[dict]:
     """Restore only the named top-level TrainState fields from the newest
     checkpoint next to `save_path` (e.g. {'params': ..., 'batch_stats': ...}).

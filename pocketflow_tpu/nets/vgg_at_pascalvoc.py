@@ -102,10 +102,17 @@ class ModelHelper(AbstractModelHelper):
         return schedule, nb_iters
 
     def warm_start(self, state):
-        """Backbone warm-start hook (reference :479-552 restores a classifier
-        VGG with var renaming); our partial restore covers it via
-        AbstractLearner.restore_baseline."""
-        return state
+        """Backbone warm-start: graft conv weights from a classification
+        checkpoint (``--save_path``) into the `vgg/` backbone by name+shape
+        intersection — the reference's renamed-variable restore (:479-552)."""
+        from pocketflow_tpu.core import checkpoint as ckpt_lib
+        params, nb = ckpt_lib.restore_intersecting(
+            FLAGS.save_path, state.params, prefix_map={'': 'vgg/'})
+        if nb:
+            import logging
+            logging.getLogger('pocketflow_tpu').info(
+                'warm start: %d backbone tensors grafted', nb)
+        return state.replace(params=params)
 
     # ------------------------------------------------------------------
     # dump_n_eval protocol (reference :554-583)

@@ -67,3 +67,31 @@ def test_speed_meter_matches_reference_formula():
     assert speed > 0
     # 32 * 10 iters * 4 workers / elapsed
     assert speed == pytest.approx(32 * 10 * 4 / 0.05, rel=0.5)
+
+
+def test_restore_intersecting_grafts_matching_leaves(tmp_path):
+    """Name+shape intersection restore (the warm-start transplant)."""
+    from pocketflow_tpu.learners.abstract_learner import TrainState
+    src_state = TrainState(
+        step=jnp.asarray(3, jnp.int32),
+        params={'conv1': {'kernel': jnp.full((3, 3, 1, 8), 2.0)},
+                'fc': {'kernel': jnp.full((8, 10), 5.0)}},
+        batch_stats={}, opt_state=(), extra=None)
+    path = str(tmp_path / 'src' / 'model.ckpt')
+    ckpt_lib.save(path, src_state, 3)
+    # target: conv1 matches (grafted), fc has a DIFFERENT shape (kept),
+    # extra_conv has no source (kept)
+    target = {'conv1': {'kernel': jnp.zeros((3, 3, 1, 8))},
+              'fc': {'kernel': jnp.zeros((8, 21))},
+              'extra_conv': {'kernel': jnp.ones((1, 1, 8, 8))}}
+    out, nb = ckpt_lib.restore_intersecting(path, target)
+    assert nb == 1
+    np.testing.assert_array_equal(np.asarray(out['conv1']['kernel']), 2.0)
+    np.testing.assert_array_equal(np.asarray(out['fc']['kernel']), 0.0)
+    np.testing.assert_array_equal(np.asarray(out['extra_conv']['kernel']), 1.0)
+    # prefix remap: source 'conv1/...' -> target 'vgg/conv1/...'
+    target2 = {'vgg': {'conv1': {'kernel': jnp.zeros((3, 3, 1, 8))}}}
+    out2, nb2 = ckpt_lib.restore_intersecting(path, target2,
+                                              prefix_map={'': 'vgg/'})
+    assert nb2 == 1
+    np.testing.assert_array_equal(np.asarray(out2['vgg']['conv1']['kernel']), 2.0)
