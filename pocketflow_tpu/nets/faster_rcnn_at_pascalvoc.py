@@ -176,6 +176,14 @@ class ModelHelper(AbstractModelHelper):
         with compression(policy):
             return model.apply(variables, inputs, labels=None, train=False)
 
+    def warm_start(self, state):
+        """Graft backbone weights from a classification checkpoint
+        (reference faster_rcnn helper warm-starts its ResNet backbone)."""
+        from pocketflow_tpu.core import checkpoint as ckpt_lib
+        params, nb = ckpt_lib.restore_intersecting(
+            FLAGS.save_path, state.params, prefix_map={'': 'backbone/'})
+        return state.replace(params=params)
+
     def setup_lrn_rate(self, global_batch_size: int):
         nb_epochs = 25
         nb_smpls = self.dataset_train.spec.nb_smpls_train

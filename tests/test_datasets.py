@@ -1,0 +1,107 @@
+"""Dataset + augmentation coverage: parsers, pipelines, on-device transforms."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pocketflow_tpu.config import FLAGS
+
+
+def test_cifar10_bin_parse(tmp_path):
+    """Real .bin files round-trip through the loader (native or numpy)."""
+    from pocketflow_tpu.datasets.cifar10 import Cifar10Dataset, _parse_bin_files
+    rng = np.random.default_rng(0)
+    record = 1 + 3072
+    raw = rng.integers(0, 256, size=(20 * record,), dtype=np.uint8)
+    raw.reshape(-1, record)[:, 0] %= 10
+    path = tmp_path / 'data_batch_1.bin'
+    raw.tofile(path)
+    images, labels = _parse_bin_files([str(path)])
+    assert images.shape == (20, 32, 32, 3) and labels.shape == (20,)
+    recs = raw.reshape(-1, record)
+    np.testing.assert_array_equal(labels, recs[:, 0].astype(np.int32))
+    expected = recs[:, 1:].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(images, expected)
+    # dataset picks the files up through data_dir_local
+    with FLAGS.scope(data_dir_local=str(tmp_path), batch_size=4,
+                     nb_smpls_train=20, synthetic_data=False):
+        ds = Cifar10Dataset(is_train=True)
+        batch = next(ds.build())
+        assert batch['image'].shape == (4, 32, 32, 3)
+
+
+def test_pascalvoc_npz_parse(tmp_path):
+    from pocketflow_tpu.datasets.pascalvoc import PascalVocDataset
+    images = np.zeros((6, 64, 64, 3), np.uint8)
+    boxes = np.empty(6, object)
+    for i in range(6):
+        boxes[i] = np.asarray([[1 + i % 3, 0.1, 0.1, 0.5, 0.5]], np.float32)
+    np.savez(tmp_path / 'train_000.npz', images=images, boxes=boxes)
+    with FLAGS.scope(data_dir_local=str(tmp_path), voc_image_size=64,
+                     nb_bboxs_max=4, batch_size=2, synthetic_data=False):
+        ds = PascalVocDataset(is_train=True)
+        batch = next(ds.build())
+        assert batch['image'].shape == (2, 64, 64, 3)
+        assert batch['label'].shape == (2, 4, 6)
+        valid = batch['label'][:, :, 5]
+        assert np.all(valid.sum(axis=1) == 1)  # one valid box per image
+
+
+def test_pad_random_crop_and_flip_shapes():
+    from pocketflow_tpu.datasets import augment
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    out = augment.pad_random_crop(x, jax.random.PRNGKey(0), pad=2)
+    assert out.shape == x.shape
+    flipped = augment.random_flip_lr(x, jax.random.PRNGKey(1))
+    assert flipped.shape == x.shape
+    # flipping twice with the same key restores the original
+    np.testing.assert_array_equal(
+        np.asarray(augment.random_flip_lr(flipped, jax.random.PRNGKey(1))),
+        np.asarray(x))
+
+
+def test_voc_flip_augment_mirrors_boxes():
+    from pocketflow_tpu.datasets.pascalvoc import PascalVocDataset
+    with FLAGS.scope(voc_image_size=32, nb_bboxs_max=2, batch_size=4):
+        ds = PascalVocDataset(is_train=True)
+        images = jnp.zeros((4, 32, 32, 3), jnp.uint8)
+        labels = np.zeros((4, 2, 6), np.float32)
+        labels[:, 0] = [1, 0.2, 0.1, 0.6, 0.3, 1.0]  # xmin=0.1, xmax=0.3
+        batch = ds.augment_batch({'image': images, 'label': jnp.asarray(labels)},
+                                 jax.random.PRNGKey(0), True)
+        out = np.asarray(jax.device_get(batch['label']))
+        for i in range(4):
+            xmin, xmax = out[i, 0, 2], out[i, 0, 4]
+            assert (abs(xmin - 0.1) < 1e-5 and abs(xmax - 0.3) < 1e-5) or \
+                   (abs(xmin - 0.7) < 1e-5 and abs(xmax - 0.9) < 1e-5)
+            assert xmin < xmax
+
+
+def test_frcnn_warm_start_grafts_backbone(tmp_path):
+    from pocketflow_tpu.core import checkpoint as ckpt_lib
+    from pocketflow_tpu.learners.abstract_learner import TrainState
+    from pocketflow_tpu.nets.faster_rcnn_at_pascalvoc import ModelHelper
+    with FLAGS.scope(voc_image_size=64, nb_bboxs_max=4, batch_size=2,
+                     batch_size_eval=2, nb_smpls_train=32, nb_smpls_eval=16,
+                     frcnn_nb_proposals=8, frcnn_nb_pre_nms=32,
+                     save_path=str(tmp_path / 'cls' / 'model.ckpt')):
+        helper = ModelHelper()
+        model = helper.create_model()
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x,
+                                               train=False))()
+        # fake classification ckpt whose conv_init matches the backbone stem
+        stem = variables['params']['backbone']['conv_init']['kernel']
+        src = TrainState(step=jnp.asarray(1), params={
+            'conv_init': {'kernel': jnp.full(stem.shape, 3.0)}},
+            batch_stats={}, opt_state=(), extra=None)
+        ckpt_lib.save(str(tmp_path / 'cls' / 'model.ckpt'), src, 1)
+        state = TrainState(step=jnp.asarray(0), params=variables['params'],
+                           batch_stats=variables.get('batch_stats', {}),
+                           opt_state=(), extra=None)
+        out = helper.warm_start(state)
+        np.testing.assert_array_equal(
+            np.asarray(out.params['backbone']['conv_init']['kernel']), 3.0)
