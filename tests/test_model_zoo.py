@@ -73,3 +73,16 @@ def test_all_learners_constructible_from_factory():
         for name in names:
             learner = create_learner(None, ModelHelper(), learner_name=name)
             assert hasattr(learner, 'train') and hasattr(learner, 'evaluate')
+
+
+def test_lenet_full_prec_short_training(tmp_path):
+    """LeNet@CIFAR-10 trains through the standard learner path."""
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.nets.lenet_at_cifar10 import ModelHelper
+    with FLAGS.scope(batch_size=8, batch_size_eval=16, nb_smpls_train=256,
+                     nb_smpls_eval=64, nb_epochs_rat=0.003, lrn_rate_init=0.05,
+                     save_path=str(tmp_path / 'lenet' / 'model.ckpt')):
+        learner = FullPrecLearner(None, ModelHelper())
+        state = learner.train()
+        metrics = learner.run_eval_loop(state, learner.build_eval_step())
+        assert np.isfinite(metrics['loss'])
