@@ -104,3 +104,23 @@ def test_log10_param_spec():
         v = spec.sample(rng)
         assert 50 <= v <= 2000
     assert abs(spec.from_unit(spec.to_unit(500.0)) - 500.0) < 1.0
+
+
+def test_model_report_audits_compression(tmp_path):
+    """The audit tool reports sparsity + channel survival correctly."""
+    from pocketflow_tpu.nets.convnet_at_fmnist import ConvNet
+    from pocketflow_tpu.tools.model_report import build_report, format_report
+    model = ConvNet(nb_classes=10, dtype=jnp.float32)
+    x = jnp.zeros((2, 28, 28, 1), jnp.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+    params = dict(variables['params'])
+    # fake compression: zero half of conv2's input channels
+    k = np.asarray(params['conv2']['kernel']).copy()
+    k[:, :, ::2, :] = 0.0
+    params = {**params, 'conv2': {**params['conv2'], 'kernel': jnp.asarray(k)}}
+    report = build_report(model, params, {}, x)
+    conv2 = next(r for r in report['layers'] if r['layer'] == 'conv2')
+    assert conv2['in_channels'] == 32 and conv2['in_channels_kept'] == 16
+    assert 0.0 < report['overall_sparsity'] < 1.0
+    text = format_report(report)
+    assert 'conv2' in text and 'overall sparsity' in text
