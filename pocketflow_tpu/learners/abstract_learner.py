@@ -333,6 +333,17 @@ class AbstractLearner(ABC):
                           ckpt_lib.latest_checkpoint(os.path.dirname(save_path) or '.'))
         return restored
 
+    def init_opt_state(self, tx, target):
+        """Initialize an optimizer state with shardings consistent with the
+        target tree (TP: momentum/trace leaves follow their params' sharding;
+        otherwise replicated)."""
+        if self.enbl_tp:
+            skel = jax.eval_shape(tx.init, target)
+            sharding = mesh_lib.infer_tp_sharding(skel, self.mesh)
+        else:
+            sharding = self.repl_sharding
+        return jax.jit(tx.init, out_shardings=sharding)(target)
+
     def copy_state(self, state: TrainState) -> TrainState:
         """Deep-copy a TrainState's buffers.
 

@@ -338,8 +338,7 @@ class ChannelPrunedLearner(AbstractLearner):
         nb_iters_ft = max(1, int(nb_iters * FLAGS.cp_nb_iters_ft_ratio))
         tx_ft = optax.sgd(learning_rate=FLAGS.cp_lrn_rate_ft,
                           momentum=FLAGS.momentum)
-        state = state.replace(opt_state=jax.jit(
-            tx_ft.init, out_shardings=self.repl_sharding)(state.params))
+        state = state.replace(opt_state=self.init_opt_state(tx_ft, state.params))
 
         def grad_transform(grads, state):
             return masking.mask_gradients(grads, state.extra['masks'])

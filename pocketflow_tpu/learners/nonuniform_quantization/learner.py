@@ -85,8 +85,7 @@ class NonUniformQuantLearner(AbstractLearner):
         schedule, self.finetune_steps = self.quant_schedule()
         tx = optax.sgd(learning_rate=schedule, momentum=FLAGS.momentum)
         self._tx = tx
-        opt_state = jax.jit(tx.init, out_shardings=self.repl_sharding)(
-            (state.params, state.extra['codebooks']))
+        opt_state = self.init_opt_state(tx, (state.params, state.extra['codebooks']))
         state = state.replace(opt_state=opt_state)
         return state, tx, schedule
 
@@ -109,8 +108,8 @@ class NonUniformQuantLearner(AbstractLearner):
         extra = self._build_extra(state.params, w_bit_list, a_bit_list)
         state = state.replace(extra=extra)
         if getattr(self, '_tx', None) is not None:
-            opt_state = jax.jit(self._tx.init, out_shardings=self.repl_sharding)(
-                (state.params, extra['codebooks']))
+            opt_state = self.init_opt_state(
+                self._tx, (state.params, extra['codebooks']))
             state = state.replace(opt_state=opt_state)
         return state
 

@@ -97,8 +97,7 @@ class UniformQuantLearner(AbstractLearner):
         state, _, _ = self.init_state(extra=extra)
         schedule, self.finetune_steps = self.quant_schedule()
         tx = optax.sgd(learning_rate=schedule, momentum=FLAGS.momentum)
-        state = state.replace(opt_state=jax.jit(
-            tx.init, out_shardings=self.repl_sharding)(state.params))
+        state = state.replace(opt_state=self.init_opt_state(tx, state.params))
         return state, tx, schedule
 
     def build_quant_train_step(self, tx):

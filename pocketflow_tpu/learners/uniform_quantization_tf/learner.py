@@ -127,8 +127,7 @@ class UniformQuantTFLearner(AbstractLearner):
             nb_smpls * FLAGS.uql_quant_epochs * FLAGS.nb_epochs_rat
             / self.global_batch_size))
         tx = optax.sgd(learning_rate=schedule, momentum=FLAGS.momentum)
-        state = state.replace(opt_state=jax.jit(
-            tx.init, out_shardings=self.repl_sharding)(state.params))
+        state = state.replace(opt_state=self.init_opt_state(tx, state.params))
         return state, tx, schedule
 
     def build_qat_train_step(self, tx, freeze_bn: bool):

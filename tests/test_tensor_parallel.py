@@ -59,3 +59,37 @@ def test_tp_train_step_matches_dp_only(tmp_path):
     tp = run(True, (4, 2), per_chip_batch=8)
     mesh_lib.reset_global_mesh()
     np.testing.assert_allclose(dp, tp, rtol=1e-4)
+
+
+def test_tp_composes_with_quantization():
+    """QAT under TP: fake-quant of sharded kernels must match the DP result
+    (the per-tensor min/max over a sharded kernel becomes an all-reduce)."""
+    from pocketflow_tpu.learners.uniform_quantization.learner import UniformQuantLearner
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+
+    def run(enbl_tp, mesh_axes, per_chip_batch):
+        mesh_lib.reset_global_mesh()
+        mesh_lib.set_global_mesh(mesh_lib.build_mesh(
+            jax.devices()[:8], (mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS),
+            mesh_axes))
+        with FLAGS.scope(batch_size=per_chip_batch, batch_size_eval=4,
+                         nb_smpls_train=128, nb_smpls_eval=32,
+                         nb_epochs_rat=0.01, lrn_rate_init=0.05,
+                         enbl_tensor_parallel=enbl_tp,
+                         enbl_native_loader=False,
+                         uql_weight_bits=4, uql_quantize_all_layers=True):
+            learner = UniformQuantLearner(None, ModelHelper())
+            state, tx, _ = learner.init_state_quant()
+            step = learner.build_quant_train_step(tx)
+            iterator = learner.dataset_train.build()
+            accs = []
+            for i in range(3):
+                state, m = step(state, next(iterator),
+                                jax.random.fold_in(jax.random.PRNGKey(7), i))
+                accs.append(float(jax.device_get(m['accuracy'])))
+            return accs
+
+    dp = run(False, (8, 1), per_chip_batch=4)
+    tp = run(True, (4, 2), per_chip_batch=8)
+    mesh_lib.reset_global_mesh()
+    np.testing.assert_allclose(dp, tp, rtol=1e-4)
