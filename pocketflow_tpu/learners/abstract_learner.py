@@ -333,6 +333,21 @@ class AbstractLearner(ABC):
                           ckpt_lib.latest_checkpoint(os.path.dirname(save_path) or '.'))
         return restored
 
+    def set_extra(self, state: TrainState, extra: Any) -> TrainState:
+        """Attach/replace the learner-specific `extra` tree, keeping the jit
+        sharding contract consistent: under TP the state-sharding tree must
+        be refreshed (masks follow their kernels' shapes; codebook shapes can
+        change), otherwise the fused step's in_shardings mismatch."""
+        if self.enbl_tp:
+            extra_sharding = mesh_lib.infer_tp_sharding(extra, self.mesh)
+            extra = jax.jit(lambda e: e, out_shardings=extra_sharding)(extra)
+            if self._state_sharding is not None:
+                self._state_sharding = self._state_sharding.replace(
+                    extra=extra_sharding)
+        else:
+            extra = jax.device_put(extra, self.repl_sharding)
+        return state.replace(extra=extra)
+
     def init_opt_state(self, tx, target):
         """Initialize an optimizer state with shardings consistent with the
         target tree (TP: momentum/trace leaves follow their params' sharding;

@@ -204,8 +204,9 @@ class ChannelPrunedLearner(AbstractLearner):
 
         masks = jax.tree_util.tree_map_with_path(mk, state.params)
         new_params = jax.device_put(params, self.repl_sharding)
-        state = state.replace(params=new_params, extra={'masks': masks})
-        return state, masks
+        state = self.set_extra(state.replace(params=new_params),
+                               {'masks': masks})
+        return state, state.extra['masks']
 
     def _build_group_ft_step(self):
         """Masked task-loss fine-tune step used between list groups."""

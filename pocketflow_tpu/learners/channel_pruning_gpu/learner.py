@@ -214,8 +214,8 @@ class ChannelPrunedGpuLearner(AbstractLearner):
                 fparams, fbstats, pruned, masks, opt_state, next(train_iter))
         # freeze pruned channels exactly at zero after reconstruction
         pruned = jax.jit(masking.apply_masks)(pruned, masks)
-        state = state.replace(params=pruned, extra={'masks': masks})
-        return state, masks
+        state = self.set_extra(state.replace(params=pruned), {'masks': masks})
+        return state, state.extra['masks']
 
     # ------------------------------------------------------------------
 
@@ -268,7 +268,8 @@ class ChannelPrunedGpuLearner(AbstractLearner):
                     'pr_trn': masking.calc_prune_ratio(state.params),
                     **metrics}
 
+        state_sharding = self._state_sharding or self.repl_sharding
         return jax.jit(
             step_fn,
-            in_shardings=(self.repl_sharding, self.batch_sharding),
+            in_shardings=(state_sharding, self.batch_sharding),
             out_shardings=self.repl_sharding)

@@ -328,7 +328,7 @@ class DisChnPrunedLearner(AbstractLearner):
 
         masks = device_masks()
         pruned = jax.jit(masking.apply_masks)(pruned, masks)
-        return state.replace(params=pruned, extra={'masks': masks})
+        return self.set_extra(state.replace(params=pruned), {'masks': masks})
 
     # ------------------------------------------------------------------
     # lifecycle

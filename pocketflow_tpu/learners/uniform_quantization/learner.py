@@ -110,8 +110,7 @@ class UniformQuantLearner(AbstractLearner):
 
     def set_bits(self, state: TrainState, w_bit_list, a_bit_list) -> TrainState:
         extra = uq_utils.bits_state(self.statistics, w_bit_list, a_bit_list)
-        extra = jax.device_put(extra, self.repl_sharding)
-        return state.replace(extra=extra)
+        return self.set_extra(state, extra)
 
     # ------------------------------------------------------------------
     # lifecycle

@@ -51,9 +51,8 @@ class WeightSparseLearner(AbstractLearner):
                 full_params=state.params, batch_stats=state.batch_stats)
         ratios_fnl = dict(self.var_names_n_prune_ratios)
 
-        extra = jax.jit(masking.build_mask_state,
-                        out_shardings=self.repl_sharding)(state.params)
-        state = state.replace(extra=extra)
+        extra = jax.jit(masking.build_mask_state)(state.params)
+        state = self.set_extra(state, extra)
 
         nb_iters = self.nb_iters_train
         upd_step = max(1, int(FLAGS.ws_mask_update_step))
@@ -100,9 +99,8 @@ class WeightSparseLearner(AbstractLearner):
 
     def evaluate(self) -> Dict[str, float]:
         state, _, _ = self.init_state()
-        extra = jax.jit(masking.build_mask_state,
-                        out_shardings=self.repl_sharding)(state.params)
-        state = state.replace(extra=extra)
+        extra = jax.jit(masking.build_mask_state)(state.params)
+        state = self.set_extra(state, extra)
         restored = self.restore_model(state, FLAGS.ws_save_path)
         if restored is None:
             raise FileNotFoundError('no checkpoint found under ' + FLAGS.ws_save_path)
@@ -127,7 +125,8 @@ class WeightSparseLearner(AbstractLearner):
                     'pr_msk': masking.calc_prune_ratio(state.params, maskable_only=True),
                     **metrics}
 
+        state_sharding = self._state_sharding or self.repl_sharding
         return jax.jit(
             step_fn,
-            in_shardings=(self.repl_sharding, self.batch_sharding),
+            in_shardings=(state_sharding, self.batch_sharding),
             out_shardings=self.repl_sharding)

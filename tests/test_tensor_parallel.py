@@ -93,3 +93,25 @@ def test_tp_composes_with_quantization():
     tp = run(True, (4, 2), per_chip_batch=8)
     mesh_lib.reset_global_mesh()
     np.testing.assert_allclose(dp, tp, rtol=1e-4)
+
+
+def test_tp_composes_with_weight_sparsification():
+    """WS under TP: mask/backup trees follow their kernels' shardings."""
+    from pocketflow_tpu.learners.weight_sparsification.learner import WeightSparseLearner
+    from pocketflow_tpu.learners.weight_sparsification import masking
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+    mesh_lib.reset_global_mesh()
+    mesh_lib.set_global_mesh(mesh_lib.build_mesh(
+        jax.devices()[:8], (mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS), (4, 2)))
+    with FLAGS.scope(batch_size=8, batch_size_eval=8, nb_smpls_train=256,
+                     nb_smpls_eval=64, nb_epochs_rat=0.02, lrn_rate_init=0.05,
+                     enbl_tensor_parallel=True, enbl_native_loader=False,
+                     ws_prune_ratio=0.5, ws_prune_ratio_prtl='uniform',
+                     ws_mask_update_step=3, ws_iter_ratio_beg=0.0,
+                     ws_iter_ratio_end=0.5):
+        learner = WeightSparseLearner(None, ModelHelper())
+        state = learner.train()
+        pr = float(jax.device_get(masking.calc_prune_ratio(
+            state.params, maskable_only=True)))
+        assert pr == pytest.approx(0.5, abs=0.03), pr
+    mesh_lib.reset_global_mesh()
