@@ -295,6 +295,53 @@ class DdpgAgent:
             decay = FLAGS.ddpg_bsln_decy_rate
             self.reward_ema = decay * self.reward_ema + (1.0 - decay) * mean_r
 
+    def save_search(self, path: str):
+        """Checkpoint the whole search state (networks, optimizer, replay
+        buffer, noise/baseline) so long RL searches survive preemption —
+        SURVEY.md §5.3: the reference restarts any failed search from scratch."""
+        import os
+        from flax import serialization
+        os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        blob = {
+            'state': serialization.to_bytes(jax.device_get(self.state)),
+            'reward_ema': -1e30 if self.reward_ema is None else self.reward_ema,
+            'stdev_curr': self.noise_spec.stdev_curr,
+            'in_explore': self.in_explore,
+        }
+        np.savez(path,
+                 buf_states=self.memory.states, buf_actions=self.memory.actions,
+                 buf_rewards=self.memory.rewards, buf_terminals=self.memory.terminals,
+                 buf_states_next=self.memory.states_next,
+                 buf_head=self.memory.head, buf_count=self.memory.count,
+                 **{k: np.frombuffer(v, np.uint8) if isinstance(v, bytes) else v
+                    for k, v in blob.items()})
+
+    def restore_search(self, path: str) -> bool:
+        """Restore a checkpoint written by save_search; returns success."""
+        import os
+        from flax import serialization
+        if not path.endswith('.npz'):
+            path = path + '.npz'
+        if not os.path.exists(path):
+            return False
+        blob = np.load(path)
+        if self.state is None:
+            self.init()
+        self.state = serialization.from_bytes(
+            self.state, blob['state'].tobytes())
+        ema = float(blob['reward_ema'])
+        self.reward_ema = None if ema <= -1e29 else ema
+        self.noise_spec.stdev_curr = float(blob['stdev_curr'])
+        self.in_explore = bool(blob['in_explore'])
+        self.memory.states[:] = blob['buf_states']
+        self.memory.actions[:] = blob['buf_actions']
+        self.memory.rewards[:] = blob['buf_rewards']
+        self.memory.terminals[:] = blob['buf_terminals']
+        self.memory.states_next[:] = blob['buf_states_next']
+        self.memory.head = int(blob['buf_head'])
+        self.memory.count = int(blob['buf_count'])
+        return True
+
     def train(self) -> Tuple[float, float, float]:
         """One (or zero) update step; returns (actor_loss, critic_loss, stdev)."""
         if not self.memory.is_ready:

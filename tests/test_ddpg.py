@@ -121,3 +121,32 @@ def test_replay_buffer_ring_and_ready():
     assert batch['states'].shape == (4, 2)
     # the ring keeps only the newest 8: rewards must be >= 4
     assert np.all(batch['rewards'] >= 4)
+
+
+def test_agent_search_checkpoint_roundtrip(tmp_path):
+    """save_search/restore_search preserve networks, buffer, noise, baseline."""
+    with FLAGS.scope(ddpg_batch_size=8):
+        agent = DdpgAgent(s_dims=3, a_dims=2, nb_rlouts=10, buf_size=16,
+                          a_min=0.0, a_max=1.0, seed=0)
+        agent.init()
+        rng = np.random.default_rng(0)
+        for i in range(20):
+            s = rng.normal(size=(1, 3)).astype(np.float32)
+            agent.record(s, rng.uniform(size=(1, 2)), np.asarray([float(i)]),
+                         np.zeros(1), s)
+        agent.finalize_rlout(np.asarray([0.7]))
+        agent.train()
+        probe = rng.normal(size=(2, 3)).astype(np.float32)
+        actions_before = agent.actions_clean(probe)
+        path = str(tmp_path / 'search.npz')
+        agent.save_search(path)
+
+        fresh = DdpgAgent(s_dims=3, a_dims=2, nb_rlouts=10, buf_size=16,
+                          a_min=0.0, a_max=1.0, seed=99)
+        assert fresh.restore_search(path)
+        np.testing.assert_allclose(fresh.actions_clean(probe), actions_before,
+                                   rtol=1e-6)
+        assert fresh.reward_ema == agent.reward_ema
+        assert fresh.memory.count == agent.memory.count
+        np.testing.assert_array_equal(fresh.memory.rewards, agent.memory.rewards)
+        assert not fresh.restore_search(str(tmp_path / 'missing.npz'))
