@@ -85,6 +85,18 @@ def save(save_path: str, state: Any, step: int) -> str:
     """Save a pytree under `<save_path>-<step>.msgpack`, update the index."""
     if FLAGS.get('ckpt_backend', 'msgpack') == 'orbax':
         return _orbax_save(save_path, state, step)
+    # msgpack requires fully-addressable leaves; under multi-process tensor
+    # parallelism a TP-sharded leaf spans processes and device_get would
+    # raise — route those saves through the sharded-array-aware backend
+    if jax.process_count() > 1 and not all(
+            getattr(x, 'is_fully_addressable', True)
+            for x in jax.tree_util.tree_leaves(state)):
+        import logging
+        logging.getLogger('pocketflow_tpu').warning(
+            'msgpack backend cannot save cross-process sharded arrays; '
+            'using orbax for this checkpoint (set --ckpt_backend=orbax '
+            'to silence)')
+        return _orbax_save(save_path, state, step)
     save_dir = os.path.dirname(save_path) or '.'
     os.makedirs(save_dir, exist_ok=True)
     state = jax.device_get(state)
@@ -128,6 +140,9 @@ def restore_latest(save_path: str, target: Any) -> Optional[Any]:
         return _orbax_restore_latest(save_path, target)
     path = latest_checkpoint(os.path.dirname(save_path) or '.')
     if path is None:
+        # a multi-process TP run may have fallen back to orbax on save
+        if jax.process_count() > 1:
+            return _orbax_restore_latest(save_path, target)
         return None
     return restore(path, target)
 

@@ -366,11 +366,18 @@ class AbstractLearner(ABC):
         state that must survive repeated roll-outs (e.g. the pretrained
         baseline the RL optimizers re-start from) needs fresh buffers first.
         """
-        if not hasattr(self, '_copy_jit'):
-            self._copy_jit = jax.jit(
+        # honor the TP sharding contract: a TP-sharded state must stay TP-
+        # sharded (forcing replication blows up memory and silently reshards
+        # back on the next train step); cache keyed on the sharding tree,
+        # which set_extra may refresh
+        sharding = self._state_sharding or self.repl_sharding
+        cached = getattr(self, '_copy_jit_cache', None)
+        if cached is None or cached[0] is not sharding:
+            fn = jax.jit(
                 lambda s: jax.tree_util.tree_map(lambda x: x + jnp.zeros_like(x), s),
-                out_shardings=self.repl_sharding)
-        return self._copy_jit(state)
+                out_shardings=sharding)
+            self._copy_jit_cache = (sharding, fn)
+        return self._copy_jit_cache[1](state)
 
     def restore_baseline(self, state: TrainState,
                          save_path: Optional[str] = None) -> Tuple[TrainState, bool]:

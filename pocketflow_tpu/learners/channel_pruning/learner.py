@@ -274,12 +274,29 @@ class ChannelPrunedLearner(AbstractLearner):
             a_min=0.0, a_max=1.0, seed=FLAGS.rand_seed)
         agent.init()
         eval_step = self.build_eval_step()
-        eval_iter = self.dataset_eval.build()
+        # RL rewards come from a held-out split of the TRAIN set, never the
+        # test set (reference channel_pruning/learner.py:137-142 +
+        # datasets/abstract_dataset.py:66-76)
+        _, val_iter = self.dataset_train.build(enbl_trn_val_split=True)
         nb_feval = max(1, min(
-            8, self.dataset_eval.spec.nb_smpls_eval // self.dataset_eval.batch_size))
+            8, self.dataset_train.spec.nb_smpls_val // self.dataset_train.batch_size))
 
-        best_reward, best_ratios = -np.inf, None
-        for idx_rlout in range(FLAGS.cp_nb_rlouts):
+        # resume a preempted search from its latest checkpoint
+        import os
+        search_path = os.path.join(
+            os.path.dirname(FLAGS.cp_best_path) or '.', 'ddpg_search.npz')
+        best_reward, best_ratios, idx_beg = -np.inf, None, 0
+        if agent.restore_search(search_path):
+            extras = agent.restored_extras
+            idx_beg = int(extras.get('idx_rlout', -1)) + 1
+            best_reward = float(extras.get('reward_best', -np.inf))
+            arr_best = extras.get('ratios_best')
+            if arr_best is not None and np.size(arr_best) == len(self.specs):
+                best_ratios = [float(r) for r in arr_best]
+            self.log.info('resumed AMC ratio search from %s at rlout #%d',
+                          search_path, idx_beg)
+
+        for idx_rlout in range(idx_beg, FLAGS.cp_nb_rlouts):
             rl_helper.reset()
             agent.init_rlout()
             states, actions = [], []
@@ -294,7 +311,7 @@ class ChannelPrunedLearner(AbstractLearner):
 
             pruned_state, _ = self.prune_with_ratios(state, ratios)
             accs = [float(jax.device_get(
-                eval_step(pruned_state, next(eval_iter))['accuracy']))
+                eval_step(pruned_state, self.put_batch(next(val_iter)))['accuracy']))
                 for _ in range(nb_feval)]
             reward = rl_helper.calc_reward(float(np.mean(accs)))
 
@@ -312,6 +329,10 @@ class ChannelPrunedLearner(AbstractLearner):
                 idx_rlout, reward, best_reward,
                 rl_helper.preserved_flops() / rl_helper.total_flops,
                 np.round(ratios, 3).tolist())
+            if self.is_primary_worker():
+                agent.save_search(search_path, extras={
+                    'idx_rlout': idx_rlout, 'reward_best': best_reward,
+                    'ratios_best': np.asarray(best_ratios, np.float32)})
         # multi-host: process 0's search decision wins (collective sync)
         from pocketflow_tpu.core import mesh as mesh_lib
         arr = mesh_lib.broadcast_from_primary(

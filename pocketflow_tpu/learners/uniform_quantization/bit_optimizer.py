@@ -87,19 +87,36 @@ class BitOptimizer:
         tx = optax.sgd(learning_rate=schedule, momentum=FLAGS.momentum)
         train_step = learner.build_quant_train_step(tx)
         eval_step = learner.build_quant_eval_step()
-        train_iter = learner.dataset_train.build()
-        eval_iter = learner.dataset_eval.build()
+        # RL rewards come from a held-out split of the TRAIN set, never the
+        # test set (reference datasets/abstract_dataset.py:66-76)
+        train_iter, val_iter = learner.dataset_train.build(enbl_trn_val_split=True)
         tune_steps = max(1, self._f('tune_global_steps') // learner.nb_workers)
         nb_feval = max(1, min(
-            8, learner.dataset_eval.spec.nb_smpls_eval // learner.dataset_eval.batch_size))
+            8, learner.dataset_train.spec.nb_smpls_val
+            // learner.dataset_train.batch_size))
 
         lt_step = None
         if self._f('enbl_rl_layerwise_tune'):
             lt_step = self._build_layerwise_tune_step()
             lt_steps = max(1, self._f('tune_layerwise_steps') // learner.nb_workers)
 
-        reward_opt, w_bits_opt = -np.inf, None
-        for idx_rlout in range(self._f('nb_rlouts')):
+        # resume a preempted search from its latest checkpoint
+        import os
+        search_path = os.path.join(
+            os.path.dirname(self._f('tune_save_path')) or '.',
+            'ddpg_search_%s.npz' % self.prefix)
+        reward_opt, w_bits_opt, idx_beg = -np.inf, None, 0
+        if agent.restore_search(search_path):
+            extras = agent.restored_extras
+            idx_beg = int(extras.get('idx_rlout', -1)) + 1
+            reward_opt = float(extras.get('reward_best', -np.inf))
+            arr_best = extras.get('w_bits_best')
+            if arr_best is not None and np.size(arr_best) == nb_layers:
+                w_bits_opt = [int(b) for b in arr_best]
+            self.log.info('resumed bit search from %s at rlout #%d',
+                          search_path, idx_beg)
+
+        for idx_rlout in range(idx_beg, self._f('nb_rlouts')):
             # 1. propose per-layer bits (possibly visiting layers in random order)
             rl_helper.reset()
             agent.init_rlout()
@@ -130,7 +147,7 @@ class BitOptimizer:
                     state, _ = train_step(state, next(train_iter),
                                           jax.random.fold_in(rng, step))
             accs = [float(jax.device_get(
-                eval_step(state, next(eval_iter))['accuracy']))
+                eval_step(state, next(val_iter))['accuracy']))
                 for _ in range(nb_feval)]
             reward = rl_helper.calc_reward(float(np.mean(accs)))
 
@@ -150,6 +167,10 @@ class BitOptimizer:
                 w_bits_opt = list(w_bit_list)
             self.log.info('rlout #%d: bits=%s reward=%.4f (best=%.4f)',
                           idx_rlout, w_bit_list, float(reward[0][0]), reward_opt)
+            if learner.is_primary_worker():
+                agent.save_search(search_path, extras={
+                    'idx_rlout': idx_rlout, 'reward_best': reward_opt,
+                    'w_bits_best': np.asarray(w_bits_opt, np.int32)})
 
         # multi-host: broadcast process 0's decision (replaces the
         # reference's arranged_layer_bits.txt + barrier sync, :159-194)

@@ -68,7 +68,12 @@ class RLHelper:
     def _calc_w_duty(self, idx: int) -> float:
         duty = (self.total_bits - self.w_bits_used
                 - self.num_weights_to_quantize * self.bit_min)
-        assert duty >= 0, 'not enough bit budget for layer %d' % idx
+        if duty < 0:
+            raise ValueError(
+                'bit budget infeasible at layer %d: remaining budget %d < '
+                '%d weights x bit_min=%d (raise --*_equivalent_bits or lower '
+                '--*_w_bit_min)' % (idx, self.total_bits - self.w_bits_used,
+                                    self.num_weights_to_quantize, self.bit_min))
         return duty
 
     def calc_w(self, action: np.ndarray, idx: int) -> np.ndarray:
@@ -83,6 +88,10 @@ class RLHelper:
             action = np.floor(
                 (self.total_bits - self.w_bits_used) / self.num_weights[idx]
             ) * np.ones((1, 1))
+            # the duty feasibility check above guarantees >= bit_min up to
+            # rounding; clamp so a tight budget can never emit sub-bit_min
+            # (e.g. 1-bit) layers silently
+            action = np.maximum(action, self.bit_min)
         action = np.minimum(action, self.bit_max)
         self.w_bits_used += action[0][0] * self.num_weights[idx]
         self.num_weights_to_quantize -= self.num_weights[idx]

@@ -118,11 +118,28 @@ class PROptimizer:
 
         rg_step, ft_step, feval_step = self._build_rollout_programs(
             full_params, batch_stats, paths)
-        train_iter = learner.dataset_train.build()
-        eval_iter = learner.dataset_eval.build()
+        # RL rewards come from a held-out split of the TRAIN set, never the
+        # test set (reference datasets/abstract_dataset.py:66-76 +
+        # channel_pruning/learner.py:137-142: hyper-parameter search must not
+        # tune on evaluation data)
+        train_iter, val_iter = learner.dataset_train.build(enbl_trn_val_split=True)
 
-        reward_best, ratios_best = -np.inf, None
-        for idx_rlout in range(FLAGS.ws_nb_rlouts):
+        # resume a preempted search from its latest checkpoint
+        import os
+        search_path = os.path.join(
+            os.path.dirname(FLAGS.ws_save_path) or '.', 'ddpg_search.npz')
+        reward_best, ratios_best, idx_beg = -np.inf, None, 0
+        if agent.restore_search(search_path):
+            extras = agent.restored_extras
+            idx_beg = int(extras.get('idx_rlout', -1)) + 1
+            reward_best = float(extras.get('reward_best', -np.inf))
+            arr_best = extras.get('ratios_best')
+            if arr_best is not None and np.size(arr_best) == len(paths):
+                ratios_best = {p: float(r) for p, r in zip(paths, arr_best)}
+            self.log.info('resumed WS ratio search from %s at rlout #%d',
+                          search_path, idx_beg)
+
+        for idx_rlout in range(idx_beg, FLAGS.ws_nb_rlouts):
             # 1. choose per-layer ratios with the noisy actor (:472-492)
             agent.init_rlout()
             states, actions = [], []
@@ -149,7 +166,7 @@ class PROptimizer:
             for _ in range(FLAGS.ws_nb_iters_ft):
                 pruned, bstats, opt_ft = ft_step['step'](pruned, bstats, masks,
                                                          opt_ft, next(train_iter))
-            accs = [float(feval_step(pruned, bstats, next(eval_iter)))
+            accs = [float(feval_step(pruned, bstats, next(val_iter)))
                     for _ in range(FLAGS.ws_nb_iters_feval)]
             reward = rl_helper.calc_reward(float(np.mean(accs)))
 
@@ -168,6 +185,11 @@ class PROptimizer:
             self.log.info(
                 'rlout #%d: reward=%.4f (best=%.4f, overall pr=%.4f)',
                 idx_rlout, reward, reward_best, rl_helper.calc_overall_prune_ratio())
+            if learner.is_primary_worker():
+                agent.save_search(search_path, extras={
+                    'idx_rlout': idx_rlout, 'reward_best': reward_best,
+                    'ratios_best': np.asarray(
+                        [ratios_best[p] for p in paths], np.float32)})
 
         # multi-host: processes see different data shards, so roll-out
         # rewards (hence best ratios) can diverge — process 0's decision wins

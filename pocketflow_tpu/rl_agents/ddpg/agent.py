@@ -141,6 +141,7 @@ class DdpgAgent:
         self._tx = optax.adam(FLAGS.ddpg_lrn_rate)
         self._build_jits()
         self.state: Optional[DdpgState] = None
+        self.restored_extras: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -196,11 +197,14 @@ class DdpgAgent:
 
         def act_noisy(state, states, stdev):
             if FLAGS.ddpg_noise_type == 'param':
-                return actor_net.apply({'params': state.actor_perturbed}, states)
-            rng_key = jax.random.fold_in(state.rng, 1)
+                return actor_net.apply({'params': state.actor_perturbed}, states), state
+            # fresh noise per call (reference draws tf.random_normal each
+            # sess.run, agent.py:340): split the state rng so repeated calls
+            # never reuse a key
+            rng, k = jax.random.split(state.rng)
             clean = actor_net.apply({'params': state.actor}, states)
-            noisy = clean + stdev * jax.random.normal(rng_key, clean.shape)
-            return jnp.clip(noisy, self.a_min, self.a_max)
+            noisy = clean + stdev * jax.random.normal(k, clean.shape)
+            return jnp.clip(noisy, self.a_min, self.a_max), state.replace(rng=rng)
 
         self._act_clean = jax.jit(act_clean)
         self._act_noisy = jax.jit(act_noisy)
@@ -269,7 +273,9 @@ class DdpgAgent:
 
     def actions_noisy(self, states: np.ndarray) -> np.ndarray:
         states = np.atleast_2d(np.asarray(states, np.float32))
-        return np.asarray(self._act_noisy(self.state, states, self.noise_spec.stdev_curr))
+        actions, self.state = self._act_noisy(
+            self.state, states, self.noise_spec.stdev_curr)
+        return np.asarray(actions)
 
     def actions_clean(self, states: np.ndarray) -> np.ndarray:
         states = np.atleast_2d(np.asarray(states, np.float32))
@@ -295,14 +301,20 @@ class DdpgAgent:
             decay = FLAGS.ddpg_bsln_decy_rate
             self.reward_ema = decay * self.reward_ema + (1.0 - decay) * mean_r
 
-    def save_search(self, path: str):
+    def save_search(self, path: str, extras: Optional[Dict[str, Any]] = None):
         """Checkpoint the whole search state (networks, optimizer, replay
         buffer, noise/baseline) so long RL searches survive preemption —
-        SURVEY.md §5.3: the reference restarts any failed search from scratch."""
+        SURVEY.md §5.3: the reference restarts any failed search from scratch.
+
+        `extras` are caller-owned numpy-able values (roll-out index, best
+        reward/ratios...) round-tripped verbatim; restore_search exposes them
+        as `self.restored_extras`."""
         import os
         from flax import serialization
         os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        extras = {('x_' + k): np.asarray(v) for k, v in (extras or {}).items()}
         blob = {
+            **extras,
             'state': serialization.to_bytes(jax.device_get(self.state)),
             'reward_ema': -1e30 if self.reward_ema is None else self.reward_ema,
             'stdev_curr': self.noise_spec.stdev_curr,
@@ -327,6 +339,8 @@ class DdpgAgent:
         blob = np.load(path)
         if self.state is None:
             self.init()
+        self.restored_extras = {k[2:]: blob[k] for k in blob.files
+                                if k.startswith('x_')}
         self.state = serialization.from_bytes(
             self.state, blob['state'].tobytes())
         ema = float(blob['reward_ema'])

@@ -80,3 +80,31 @@ def test_channel_pruned_uniform_end_to_end(tmp_path):
             assert kept <= 20, kept  # ~16 of 32 channels survive
             metrics = learner.run_eval_loop(state, learner.build_eval_step())
             assert metrics['accuracy'] > 0.5
+
+
+@pytest.mark.slow
+def test_channel_pruned_amc_search(tmp_path):
+    """Tiny AMC search: 2 roll-outs, FLOPs budget respected, rewards from the
+    train/val split (eval set poisoned), search checkpoint written."""
+    import os
+    from pocketflow_tpu.learners.channel_pruning import ChannelPrunedLearner
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+    with FLAGS.scope(batch_size=16, nb_smpls_train=256, nb_smpls_eval=64,
+                     nb_smpls_val=64, batch_size_eval=16, nb_epochs_rat=0.01,
+                     lrn_rate_init=0.05, cp_prune_option='auto',
+                     cp_preserve_ratio=0.5, cp_nb_rlouts=2, cp_nb_rlouts_min=1,
+                     cp_nb_batches=2, cp_nb_points_per_layer=4,
+                     cp_best_path=str(tmp_path / 'cp' / 'best_model.ckpt')):
+        learner = ChannelPrunedLearner(None, ModelHelper())
+        learner.dataset_eval.build = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError('AMC search read the eval set'))
+        state, _, _ = learner.init_state()
+        learner._setup_pruner(state)
+        ratios = learner.search_ratios_rl(state)
+        assert len(ratios) == len(learner.specs)
+        assert all(0.0 < r <= 1.0 for r in ratios)
+        # FLOPs budget: preserved fraction over prunable convs <= target
+        flops = np.array([s['flops'] for s in learner.specs])
+        assert float(np.sum(flops * np.asarray(ratios))) \
+            <= 0.5 * float(flops.sum()) + 1e-6
+        assert os.path.exists(str(tmp_path / 'cp' / 'ddpg_search.npz'))

@@ -87,6 +87,10 @@ def test_bit_optimizer_rl_search(tmp_path):
                      uql_tune_global_steps=4, uql_equivalent_bits=4,
                      uql_quantize_all_layers=True):
         learner = UniformQuantLearner(None, _convnet_helper())
+        # the search must draw rewards from the train/val split, never the
+        # eval (test) set -- poison it to be sure
+        learner.dataset_eval.build = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError('bit search read the eval set'))
         state, _, _ = learner.init_state_quant()
         w_bits, a_bits = BitOptimizer(learner, state).run()
         assert len(w_bits) == 4 and len(a_bits) == 3
