@@ -211,6 +211,11 @@ FLAGS.DEFINE_string('compute_dtype', 'bfloat16',
 FLAGS.DEFINE_boolean('synthetic_data', False,
                      'use deterministic synthetic data when real files are absent')
 FLAGS.DEFINE_integer('rand_seed', 0, 'global PRNG seed')
+FLAGS.DEFINE_integer('bn_stats_subsample', 1,
+                     'compute BN batch statistics from every S-th sample '
+                     '(ghost-BN; 1 = exact). The train step is HBM-bound and '
+                     'the stats reductions re-read every conv output, so S>1 '
+                     'removes (S-1)/S of that traffic')
 FLAGS.DEFINE_string('mesh_shape', '', 'comma "axis:size" list, e.g. "data:8" (empty = all devices on data axis)')
 FLAGS.DEFINE_boolean('enbl_tensor_parallel', False,
                      "shard large kernels' last axis over the 'model' mesh axis")

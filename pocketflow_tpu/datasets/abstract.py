@@ -163,8 +163,12 @@ class AbstractDataset(ABC):
             self._cached_arrays = self._load_arrays()
         images, labels = self._cached_arrays
         self.nb_smpls_loaded = len(images)
-        # shard by process (multi-host)
-        if self.nb_shards > 1 and self.is_train:
+        # Shard by process (multi-host) — train AND eval: put_batch assembles
+        # the global batch from process-local data, so every process must hold
+        # a DISJOINT shard or the global eval batch would contain P copies of
+        # the same samples (reference shards per rank for both subsets,
+        # abstract_dataset.py:80-81).
+        if self.nb_shards > 1:
             images = images[self.shard_id::self.nb_shards]
             labels = labels[self.shard_id::self.nb_shards]
         if enbl_trn_val_split:

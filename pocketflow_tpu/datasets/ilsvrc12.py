@@ -40,8 +40,18 @@ class Ilsvrc12Dataset(AbstractDataset):
             img_shards = sorted(glob.glob(os.path.join(data_dir, '%s_images_*.npy' % subset)))
             lbl_shards = sorted(glob.glob(os.path.join(data_dir, '%s_labels_*.npy' % subset)))
             if img_shards:
-                images = np.concatenate([np.load(p, mmap_mode='r') for p in img_shards])
+                # Stream rows out of the shard files — NEVER concatenate into
+                # RAM (the real train set is ~190 GB).  ShardedView + the
+                # native pread sampler keep resident memory bounded at the
+                # prefetch queue, the rebuild's parallel_interleave
+                # (reference: datasets/abstract_dataset.py:55-94).
+                from pocketflow_tpu.datasets.shards import ShardedView
+                images = ShardedView.from_npy_files(img_shards)
                 labels = np.concatenate([np.load(p) for p in lbl_shards]).astype(np.int32)
+                if len(labels) != len(images):
+                    raise ValueError(
+                        'ILSVRC-12 shard mismatch: %d images vs %d labels'
+                        % (len(images), len(labels)))
                 return images, labels
         return self.synthesize_arrays(nb_smpls=2048)
 

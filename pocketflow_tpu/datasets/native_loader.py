@@ -62,6 +62,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32]
+    lib.pfdata_file_sampler_create.restype = ctypes.c_void_p
+    lib.pfdata_file_sampler_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+    lib.pfdata_sampler_next.restype = ctypes.c_int32
     lib.pfdata_sampler_next.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.pfdata_sampler_destroy.argtypes = [ctypes.c_void_p]
@@ -87,26 +94,66 @@ def parse_cifar10(raw: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
 
 
 class NativeSampler:
-    """Threaded shuffling batch iterator backed by libpfdata."""
+    """Threaded shuffling batch iterator backed by libpfdata.
 
-    def __init__(self, images: np.ndarray, labels: np.ndarray, batch_size: int,
+    Deterministic: the batch stream depends only on (seed, batch, shuffle, n)
+    — never on nb_threads (the C++ side draws indices under a lock in sequence
+    order and delivers completed batches strictly in that order).
+
+    Accepts either flat in-RAM arrays or a file-backed
+    :class:`~pocketflow_tpu.datasets.shards.ShardedView`, which streams rows
+    out of per-shard ``.npy`` files via ``pread`` with bounded resident memory
+    (the ImageNet-scale path; reference equivalent:
+    /root/reference/datasets/abstract_dataset.py:55-94's parallel_interleave).
+    """
+
+    def __init__(self, images, labels: np.ndarray, batch_size: int,
                  shuffle: bool, seed: int, nb_threads: int = 2,
                  queue_depth: int = 4):
         lib = get_lib()
         if lib is None:
             raise RuntimeError('native pfdata unavailable')
         self._lib = lib
-        # keep references alive: the sampler reads these buffers zero-copy
-        self._images = np.ascontiguousarray(images, np.uint8)
         self._labels = np.ascontiguousarray(labels, np.float32)
         if self._labels.ndim == 1:
             self._labels = self._labels[:, None]
-        self.image_shape = self._images.shape[1:]
         self.label_shape = self._labels.shape[1:]
         self.batch_size = batch_size
         self._label_is_int = np.issubdtype(labels.dtype, np.integer)
-        sample_bytes = int(np.prod(self.image_shape))
         label_floats = int(np.prod(self.label_shape))
+
+        from pocketflow_tpu.datasets.shards import ShardedView
+        if isinstance(images, ShardedView):
+            if images.dtype != np.uint8:
+                raise RuntimeError('native sampler needs uint8 image shards')
+            table = images.file_table()
+            if table is None:
+                raise RuntimeError('ShardedView is not file-backed')
+            paths, offsets, counts = table
+            self.image_shape = images.item_shape
+            sample_bytes = int(np.prod(self.image_shape))
+            index = np.ascontiguousarray(images.global_index(), np.int64)
+            offsets_arr = np.asarray(offsets, np.int64)
+            counts_arr = np.asarray(counts, np.int64)
+            c_paths = (ctypes.c_char_p * len(paths))(
+                *[p.encode() for p in paths])
+            if len(index) != len(self._labels):
+                raise RuntimeError('labels must be pre-gathered to the selection')
+            self._handle = lib.pfdata_file_sampler_create(
+                c_paths, offsets_arr.ctypes.data_as(ctypes.c_void_p),
+                counts_arr.ctypes.data_as(ctypes.c_void_p), len(paths),
+                self._labels.ctypes.data_as(ctypes.c_void_p),
+                index.ctypes.data_as(ctypes.c_void_p), len(index),
+                sample_bytes, label_floats, batch_size,
+                1 if shuffle else 0, seed, nb_threads, queue_depth)
+            if not self._handle:
+                raise RuntimeError('pfdata_file_sampler_create failed '
+                                   '(unreadable shard?)')
+            return
+        # keep references alive: the sampler reads these buffers zero-copy
+        self._images = np.ascontiguousarray(images, np.uint8)
+        self.image_shape = self._images.shape[1:]
+        sample_bytes = int(np.prod(self.image_shape))
         self._handle = lib.pfdata_sampler_create(
             self._images.ctypes.data_as(ctypes.c_void_p),
             self._labels.ctypes.data_as(ctypes.c_void_p),
@@ -119,9 +166,11 @@ class NativeSampler:
     def __next__(self):
         images = np.empty((self.batch_size, *self.image_shape), np.uint8)
         labels = np.empty((self.batch_size, *self.label_shape), np.float32)
-        self._lib.pfdata_sampler_next(
+        ok = self._lib.pfdata_sampler_next(
             self._handle, images.ctypes.data_as(ctypes.c_void_p),
             labels.ctypes.data_as(ctypes.c_void_p))
+        if not ok:
+            raise IOError('pfdata: shard read failed mid-stream')
         if self._label_is_int:
             labels = labels.astype(np.int32)
         if labels.shape[-1] == 1 and labels.ndim == 2:

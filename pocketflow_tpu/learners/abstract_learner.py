@@ -301,7 +301,11 @@ class AbstractLearner(ABC):
         if nb_batches is None:
             nb_smpls = getattr(self.dataset_eval, 'nb_smpls_loaded',
                                self.dataset_eval.spec.nb_smpls_eval)
-            nb_batches = max(1, nb_smpls // self.dataset_eval.batch_size)
+            # Each global eval step consumes batch_size samples from EVERY
+            # process's disjoint shard, so the whole set is covered in
+            # nb_smpls / (batch_size * nb_processes) steps.
+            nb_batches = max(1, nb_smpls // (self.dataset_eval.batch_size
+                                             * jax.process_count()))
         totals: Dict[str, float] = {}
         for _ in range(nb_batches):
             metrics = jax.device_get(eval_step(state, self.put_batch(next(iterator))))

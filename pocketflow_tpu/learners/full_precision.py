@@ -50,8 +50,11 @@ class FullPrecLearner(AbstractLearner):
         # detection helpers add VOC mAP through the dump_n_eval protocol
         # (reference: evaluate() -> dump_n_eval('init'/'dump'/'eval'))
         if hasattr(self.model_helper, 'evaluate_map'):
-            nb_batches = max(1, min(
-                8, self.dataset_eval.spec.nb_smpls_eval // self.dataset_eval.batch_size))
+            # FULL eval set: the reference scores all 4,952 VOC test images
+            # (vgg_at_pascalvoc.py:554-583); smoke tests shrink the set via
+            # --nb_smpls_eval instead of capping batches here.
+            nb_batches = max(1, -(-self.dataset_eval.spec.nb_smpls_eval
+                                  // self.dataset_eval.batch_size))
             map_metrics = self.model_helper.evaluate_map(
                 self.model, restored, self.dataset_eval, nb_batches=nb_batches)
             self.log.info('detection eval: mAP = %.4f', map_metrics.get('mAP', 0.0))

@@ -264,6 +264,15 @@ class BatchNorm(nn.Module):
     Under pjit data parallelism the batch mean/var are global (cross-chip)
     reductions — XLA inserts the collectives — i.e. sync-BN semantics, a strict
     improvement over the reference's per-GPU BN.
+
+    ``--bn_stats_subsample=S`` (default 1 = exact) computes the batch
+    statistics from every S-th sample (ghost-BN): the train step is
+    HBM-bandwidth-bound and the stats reductions re-read every conv output, so
+    subsampling removes (S-1)/S of that traffic in forward AND backward.  The
+    stride is along the batch axis, so under batch sharding every chip reduces
+    the same fraction of its local shard (no cross-chip imbalance).  Exact BN
+    remains the default; the approximation only affects which samples define
+    mu/sigma, not the normalization algebra.
     """
     use_running_average: Optional[bool] = None
     momentum: float = 0.997
@@ -272,11 +281,52 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
+        from pocketflow_tpu.config import FLAGS
         ura = nn.merge_param(
             'use_running_average', self.use_running_average, use_running_average)
-        return nn.BatchNorm(
-            use_running_average=ura, momentum=self.momentum, epsilon=self.epsilon,
-            dtype=self.dtype, param_dtype=jnp.float32, name='bn')(x)
+        sub = int(FLAGS.get('bn_stats_subsample') or 1)
+        if ura or sub <= 1 or x.shape[0] < 2 * sub:
+            return nn.BatchNorm(
+                use_running_average=ura, momentum=self.momentum,
+                epsilon=self.epsilon, dtype=self.dtype,
+                param_dtype=jnp.float32, name='bn')(x)
+        return _GhostBatchNorm(
+            momentum=self.momentum, epsilon=self.epsilon, dtype=self.dtype,
+            subsample=sub, name='bn')(x)
+
+
+class _GhostBatchNorm(nn.Module):
+    """Train-mode BN with strided-subsample statistics (see BatchNorm)."""
+    momentum: float
+    epsilon: float
+    dtype: Dtype
+    subsample: int
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (features,), jnp.float32)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((features,), jnp.float32))
+        # stats from a contiguous leading slice (cheap HBM access pattern);
+        # stop_gradient'd rows beyond the slice don't exist -> backward's
+        # dmean/dvar corrections also shrink by the same factor
+        xs = x[:x.shape[0] // self.subsample].astype(jnp.float32)
+        axes = tuple(range(xs.ndim - 1))
+        mean = jnp.mean(xs, axis=axes)
+        var = jnp.mean(jnp.square(xs), axis=axes) - jnp.square(mean)
+        if not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * var)
+        inv = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(self.dtype)
+        shift = (bias - mean * jax.lax.rsqrt(var + self.epsilon)
+                 * scale).astype(self.dtype)
+        return x.astype(self.dtype) * inv + shift
 
 
 def max_pool(x, window: Tuple[int, int] = (2, 2), strides: Optional[Tuple[int, int]] = None,

@@ -61,6 +61,7 @@ def test_amc_rl_helper_flops_budget():
         or helper.preserved_flops() / helper.total_flops <= 0.65
 
 
+@pytest.mark.slow
 def test_channel_pruned_uniform_end_to_end(tmp_path):
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
     from pocketflow_tpu.learners.channel_pruning import ChannelPrunedLearner

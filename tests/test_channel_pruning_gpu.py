@@ -32,6 +32,7 @@ def test_channel_norms_shape():
         rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_cpg_end_to_end(tmp_path):
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
     from pocketflow_tpu.learners.channel_pruning_gpu import ChannelPrunedGpuLearner

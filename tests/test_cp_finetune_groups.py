@@ -7,6 +7,7 @@ import pytest
 from pocketflow_tpu.config import FLAGS
 
 
+@pytest.mark.slow
 def test_cp_list_mode_with_group_finetune(tmp_path):
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
     from pocketflow_tpu.learners.channel_pruning import ChannelPrunedLearner

@@ -48,6 +48,7 @@ def test_fake_quant_with_range_ste():
     assert np.all(gn[np.asarray(x) > 6] == 0.0)
 
 
+@pytest.mark.slow
 def test_cpr_end_to_end(tmp_path):
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
     from pocketflow_tpu.learners.channel_pruning_rmt import ChannelPrunedRmtLearner
@@ -69,6 +70,7 @@ def test_cpr_end_to_end(tmp_path):
             assert metrics['accuracy'] > 0.5
 
 
+@pytest.mark.slow
 def test_uqtf_end_to_end(tmp_path):
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
     from pocketflow_tpu.learners.uniform_quantization_tf import UniformQuantTFLearner

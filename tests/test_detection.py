@@ -99,6 +99,7 @@ def test_ssd_vgg_forward_shapes():
     assert box_deltas.shape == (2, nb_anchors, 4)
 
 
+@pytest.mark.slow
 def test_ssd_end_to_end_smoke(tmp_path):
     """Tiny SSD on synthetic VOC: loss must decrease, mAP computable."""
     from pocketflow_tpu.learners.full_precision import FullPrecLearner

@@ -18,6 +18,7 @@ def test_aux_head_shapes():
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+@pytest.mark.slow
 def test_dcp_end_to_end(tmp_path):
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
     from pocketflow_tpu.learners.discr_channel_pruning import DisChnPrunedLearner

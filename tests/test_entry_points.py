@@ -21,10 +21,12 @@ def test_path_conf_parsing(tmp_path):
     assert parsed == {'data_disk': 'local', 'data_dir_local_cifar10': '/data/c10'}
     assert dataset_of('resnet_at_cifar10') == 'cifar10'
     assert dataset_of('faster_rcnn_at_pascalvoc') == 'pascalvoc'
-    with FLAGS.scope(path_conf=str(conf)):
+    # scope data_dir_local too: apply_path_conf writes it, and the scope exit
+    # must roll that write back (no permanent overrides from tests)
+    with FLAGS.scope(path_conf=str(conf), data_dir_local=None):
         apply_path_conf('resnet_at_cifar10')
         assert FLAGS.data_dir_local == '/data/c10'
-    FLAGS.override(data_dir_local=None)
+    assert FLAGS.get('data_dir_local') is None
 
 
 def test_main_dispatcher_runs_tiny_training(tmp_path):

@@ -42,6 +42,7 @@ def test_bit_optimizer_layerwise_tune(tmp_path):
         assert len(w_bits) == 4
 
 
+@pytest.mark.slow
 def test_weight_sparse_on_ssd_detection(tmp_path):
     """Compression learners must reach detection models (SSD kernels)."""
     from pocketflow_tpu.learners.weight_sparsification.learner import WeightSparseLearner
@@ -80,3 +81,42 @@ def test_nuq_rl_bit_search(tmp_path):
         num_weights = learner.statistics['num_weights']
         total_bits = sum(n * b for n, b in zip(num_weights, w_bits))
         assert total_bits <= sum(num_weights) * 4 + max(num_weights)
+
+
+def test_ghost_bn_matches_exact_stats_semantics():
+    """bn_stats_subsample: stats come from the leading 1/S slice; the
+    normalization algebra is otherwise exact BN."""
+    import jax
+    import jax.numpy as jnp
+    from pocketflow_tpu.nn import layers as L
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 4, 4, 8)) * 2.0 + 1.0
+    bn = L.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5,
+                     dtype=jnp.float32)
+    with FLAGS.scope(bn_stats_subsample=4):
+        variables = bn.init(jax.random.PRNGKey(1), x)
+        y, updates = bn.apply(variables, x, mutable=['batch_stats'])
+    xs = np.asarray(x[:4], np.float32)
+    mean = xs.mean(axis=(0, 1, 2))
+    var = (xs ** 2).mean(axis=(0, 1, 2)) - mean ** 2
+    expected = (np.asarray(x) - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=2e-4, atol=2e-4)
+    # running stats track the subsample statistics
+    np.testing.assert_allclose(
+        np.asarray(updates['batch_stats']['bn']['mean']), 0.1 * mean, rtol=2e-4)
+
+
+def test_ghost_bn_training_holds_accuracy(tmp_path):
+    """A tiny BN-model training run with bn_stats_subsample=4 still learns."""
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.nets.resnet_at_cifar10 import ModelHelper
+    with FLAGS.scope(batch_size=8, batch_size_eval=16, nb_smpls_train=256,
+                     nb_smpls_eval=64, nb_epochs_rat=0.004, resnet_size=20,
+                     lrn_rate_init=0.05, bn_stats_subsample=4,
+                     save_path=str(tmp_path / 'r20' / 'model.ckpt')):
+        learner = FullPrecLearner(None, ModelHelper())
+        state = learner.train()
+        metrics = learner.run_eval_loop(state, learner.build_eval_step())
+        assert np.isfinite(metrics['loss'])  # trains and evals without NaNs
+        # deterministic tiny budget: just demand better-than-chance learning
+        assert metrics['accuracy'] > 0.12

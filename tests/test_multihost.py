@@ -43,6 +43,11 @@ _WORKER = textwrap.dedent('''
     learner = FullPrecLearner(None, ModelHelper())
     assert learner.nb_workers == 4 and learner.global_batch_size == 16
     state, tx, _ = learner.init_state()
+    # Eval-parity (BEFORE training: init_state draws from the learner's
+    # stateful rng, so the first draw is the one the host reproduces):
+    # evaluate the deterministic init state over the full eval set.
+    eval_step = learner.build_eval_step()
+    em = learner.run_eval_loop(state, eval_step)
     step = learner.build_train_step(tx)
     it = learner.dataset_train.build()
     import jax.numpy as jnp
@@ -53,7 +58,24 @@ _WORKER = textwrap.dedent('''
     # control-plane utilities
     learner.auto_barrier()
     val = mesh_lib.broadcast_from_primary(jnp.asarray(acc if pid == 0 else 0.0))
-    print("RESULT", pid, acc, float(jax.device_get(val)), flush=True)
+    # Eval shards must be DISJOINT across processes (VERDICT r1 weak #5):
+    # print this process's per-image checksums for the host to verify the two
+    # shards partition the full eval set.
+    import numpy as np
+    ev_it = learner.dataset_eval.build()
+    nb_local = learner.dataset_eval.nb_smpls_loaded // 2  # this process's shard
+    sums = []
+    while len(sums) < nb_local:  # drain exactly one epoch of the local shard
+        img = np.asarray(next(ev_it)["image"]).astype(np.int64)
+        sums.extend(img.reshape(img.shape[0], -1).sum(axis=1).tolist())
+    assert len(sums) == nb_local
+    # the default batch accounting must cover the set exactly once
+    nb = max(1, learner.dataset_eval.nb_smpls_loaded
+             // (learner.dataset_eval.batch_size * jax.process_count()))
+    covered = nb * learner.dataset_eval.batch_size * jax.process_count()
+    assert covered == learner.dataset_eval.nb_smpls_loaded, (covered, nb)
+    print("EVALSHARD", pid, ",".join(str(s) for s in sorted(sums)), flush=True)
+    print("RESULT", pid, acc, float(jax.device_get(val)), em["loss"], flush=True)
 ''')
 
 
@@ -72,13 +94,53 @@ def test_two_process_data_parallel(tmp_path):
         out, _ = p.communicate(timeout=540)
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
-    results = {}
+    results, shards = {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith('RESULT'):
-                _, pid, acc, bcast = line.split()
-                results[int(pid)] = (float(acc), float(bcast))
+                _, pid, acc, bcast, eval_loss = line.split()
+                results[int(pid)] = (float(acc), float(bcast), float(eval_loss))
+            elif line.startswith('EVALSHARD'):
+                _, pid, sums = line.split()
+                shards[int(pid)] = [int(s) for s in sums.split(',')]
     assert set(results) == {0, 1}
     # replicated metrics agree across processes; broadcast delivered rank-0's
     assert results[0][0] == pytest.approx(results[1][0], abs=1e-6)
     assert results[1][1] == pytest.approx(results[0][0], abs=1e-6)
+    assert results[0][2] == pytest.approx(results[1][2], abs=1e-6)
+
+    # The two processes' eval shards partition the full eval set: disjoint
+    # (as multisets of per-image checksums) and their union is the whole set.
+    from pocketflow_tpu.config import FLAGS
+    from pocketflow_tpu.datasets.fmnist import FMnistDataset
+    with FLAGS.scope(synthetic_data=True, nb_smpls_eval=32, batch_size_eval=4,
+                     rand_seed=0, enbl_native_loader=False):
+        ds = FMnistDataset(is_train=False)
+        images, _ = ds._load_arrays()
+        full = sorted(np.asarray(images).astype(np.int64)
+                      .reshape(len(images), -1).sum(axis=1).tolist())
+    assert sorted(shards[0] + shards[1]) == full
+    from collections import Counter
+    overlap = Counter(shards[0]) & Counter(shards[1])
+    assert sum(overlap.values()) == 0, 'eval shards overlap across processes'
+
+    # Eval-parity: a 1-process eval of the same deterministic init state over
+    # the same full set must match the 2-process replicated eval accuracy.
+    from pocketflow_tpu.core import mesh as mesh_lib
+    mesh_lib.reset_global_mesh()
+    # batch_size_eval=2 x 8 local devices = the SAME global batch of 16 as the
+    # 2-process run, so per-sample numerics come from the same XLA program.
+    with FLAGS.scope(synthetic_data=True, compute_dtype='float32',
+                     batch_size=4, batch_size_eval=2, nb_smpls_train=128,
+                     nb_smpls_eval=32, rand_seed=0, enbl_native_loader=False):
+        from pocketflow_tpu.learners.full_precision import FullPrecLearner
+        from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+        learner = FullPrecLearner(None, ModelHelper())
+        init_state, _, _ = learner.init_state()
+        em = learner.run_eval_loop(init_state, learner.build_eval_step())
+    mesh_lib.reset_global_mesh()
+    # Same deterministic init params, same full-set coverage: the mean eval
+    # loss must agree up to float reassociation across device layouts.
+    # (Exact accuracy equality is NOT asserted: untrained-init logits have
+    # near-ties whose argmax can flip between XLA programs.)
+    assert em['loss'] == pytest.approx(results[0][2], abs=2e-3)

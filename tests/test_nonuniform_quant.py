@@ -62,6 +62,7 @@ def test_split_bucket_roundtrip_shapes():
     assert np.all(np.isfinite(np.asarray(q)))
 
 
+@pytest.mark.slow
 def test_nonuniform_learner_end_to_end(tmp_path):
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
     from pocketflow_tpu.learners.nonuniform_quantization.learner import NonUniformQuantLearner

@@ -39,6 +39,7 @@ def test_train_resumes_from_checkpoint(tmp_path):
         assert int(jax.device_get(final.step)) == resumed_learner.nb_iters_train
 
 
+@pytest.mark.slow
 def test_distillation_composes_with_weight_sparse(tmp_path):
     """--enbl_dst must work inside a compression learner's fused step."""
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
