@@ -30,7 +30,10 @@ def main(argv=None):
     from pocketflow_tpu.tools import export as export_lib
 
     FLAGS.DEFINE_string('ckpt_path', './models/model.ckpt', 'checkpoint to export')
-    FLAGS.DEFINE_string('export_mode', 'plain', "export mode: 'plain' | 'chn-pruned' | 'quant'")
+    FLAGS.DEFINE_string('export_mode', 'plain',
+                        "export mode: 'plain' | 'chn-pruned' | "
+                        "'chn-pruned-residual' (producer-side shrink across "
+                        "skip connections) | 'quant'")
     FLAGS.DEFINE_string('output_path', './export/model', 'output artifact path')
     FLAGS.DEFINE_string('export_model', 'convnet_at_fmnist', 'model helper name')
     leftovers = FLAGS.parse_args(argv)
@@ -54,7 +57,45 @@ def main(argv=None):
         raise FileNotFoundError('no checkpoint next to ' + FLAGS.ckpt_path)
     variables = {'params': fields['params'], 'batch_stats': fields['batch_stats']}
 
-    if FLAGS.export_mode == 'chn-pruned':
+    if FLAGS.export_mode == 'chn-pruned-residual':
+        # residual-aware physical shrink: producer-side channels removed
+        # across skip connections (reference model_wrapper.py:31-369 +
+        # channel_pruner.py:579-586), via the jaxpr capture trace
+        from pocketflow_tpu.tools import shrink_graph as sg
+        graph = sg.capture_conv_graph(model, variables, sample.shape)
+        packed, manifest = sg.shrink_residual_aware(
+            variables['params'], variables['batch_stats'], graph)
+        # exactness self-check: scatter back to dense, logits must be equal
+        dense_p, dense_s = sg.expand_to_dense(
+            packed, manifest, variables['params'], variables['batch_stats'])
+        delta = export_lib.numeric_self_check(
+            model, variables,
+            {'params': dense_p, 'batch_stats': dense_s}, sample, atol=0.0)
+        if delta != 0.0:
+            raise AssertionError(
+                'residual shrink changed the model (max delta %.3e)' % delta)
+        # FLOPs audit: conv FLOPs scale with kernel element count at fixed
+        # spatial dims, so the shrunk/original kernel-size ratio is exact
+        from pocketflow_tpu.tools.model_report import build_report
+        report = build_report(model, variables['params'],
+                              variables['batch_stats'], sample)
+        flops_before = flops_after = 0.0
+        for row in report['layers']:
+            fl = row.get('flops')
+            if fl is None:
+                continue
+            new = packed.get(row['layer'] + '/kernel')
+            old_size = int(np.prod(row['shape']))
+            flops_before += fl
+            flops_after += fl * (new.size / old_size if new is not None else 1.0)
+        manifest['flops_audit'] = {
+            'flops_before': flops_before, 'flops_after': flops_after,
+            'reduction': 1.0 - (flops_after / flops_before
+                                if flops_before else 1.0)}
+        log.info('residual shrink FLOPs audit: %.3e -> %.3e (-%.1f%%)',
+                 flops_before, flops_after,
+                 100.0 * manifest['flops_audit']['reduction'])
+    elif FLAGS.export_mode == 'chn-pruned':
         packed, manifest = export_lib.shrink_channel_pruned(variables['params'])
     elif FLAGS.export_mode == 'quant':
         from pocketflow_tpu.learners.uniform_quantization import utils as uq

@@ -1,0 +1,169 @@
+"""Residual-aware physical channel shrink (tools/shrink_graph.py).
+
+Reference behavior being matched: channel_pruner.py:579-586 +
+model_wrapper.py:31-369 — pruned channels are removed from producer convs
+across skip connections, not just masked in consumers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pocketflow_tpu.config import FLAGS
+
+
+def _zero_in_channels(params, channels, skip_in_dims=(3,)):
+    """Zero input channels `channels` of every conv kernel (except stems whose
+    in-dim is in skip_in_dims) and the matching fc rows — simulating a
+    channel-pruned checkpoint where every consumer agrees."""
+    def visit(node):
+        for name, child in node.items():
+            if isinstance(child, dict):
+                if 'kernel' in child:
+                    k = np.array(child['kernel'])
+                    if k.ndim == 4 and k.shape[2] not in skip_in_dims:
+                        k[:, :, channels, :] = 0.0
+                        child['kernel'] = k
+                    elif k.ndim == 4 and k.shape[2] == 1:  # depthwise
+                        pass
+                    elif k.ndim == 2:
+                        k[list(channels), :] = 0.0
+                        child['kernel'] = k
+                else:
+                    visit(child)
+    visit(params)
+    return params
+
+
+def _build_resnet20():
+    from pocketflow_tpu.nets.resnet import ResNetCifar
+    model = ResNetCifar(nb_blocks=3, nb_classes=10, dtype=jnp.float32)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables, x
+
+
+def test_capture_graph_finds_residual_merges():
+    from pocketflow_tpu.tools import shrink_graph as sg
+    model, variables, x = _build_resnet20()
+    graph = sg.capture_conv_graph(model, variables, x.shape)
+    # every conv + the fc shows up as a consumer site
+    consumers = {s.consumer for s in graph.sites}
+    assert 'conv_init' in consumers and 'fc' in consumers
+    assert 'stage1_block0/conv1' in consumers
+    # residual merge: stage1_block1's conv1 input is fed by BOTH the previous
+    # block's conv2 AND the carried shortcut (conv_init across two adds)
+    site = next(s for s in graph.sites if s.consumer == 'stage1_block1/conv1')
+    assert site.clean
+    assert 'stage1_block0/conv2' in site.producers
+    assert 'conv_init' in site.producers  # identity shortcut carries through
+    # the head producer is protected (its output leaves the model)
+    assert 'fc' in graph.protected
+
+
+def test_resnet_shrink_is_exact_and_physical():
+    from pocketflow_tpu.tools import shrink_graph as sg
+    model, variables, x = _build_resnet20()
+    params = jax.device_get(variables['params'])
+    batch_stats = jax.device_get(variables['batch_stats'])
+    # make the logits non-trivial
+    images = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    params = _zero_in_channels(params, [0, 1])
+
+    ref = model.apply({'params': params, 'batch_stats': batch_stats},
+                      images, train=False)
+
+    graph = sg.capture_conv_graph(model, {'params': params,
+                                          'batch_stats': batch_stats}, x.shape)
+    packed, manifest = sg.shrink_residual_aware(params, batch_stats, graph)
+    assert manifest['components'], 'no components were shrunk'
+
+    # physical: the stage-1 residual trunk lost channels on the PRODUCER side
+    trunk = next(c for c in manifest['components']
+                 if 'stage1_block0/conv2' in c['producers'])
+    assert 'conv_init' in trunk['producers'], 'skip connection not followed'
+    assert trunk['orig_channels'] == 16
+    assert len(trunk['kept_channels']) == 14
+    assert packed['stage1_block0/conv2/kernel'].shape[-1] == 14
+    assert packed['conv_init/kernel'].shape[-1] == 14
+    assert packed['bn_init/bn/scale'].shape == (14,)
+    assert packed['batch_stats/bn_init/bn/mean'].shape == (14,)
+    # consumer side shrank too
+    assert packed['stage1_block1/conv1/kernel'].shape[2] == 14
+    assert packed['fc/kernel'].shape[0] == 62  # 64 - 2
+
+    # exactness: scatter back to dense and compare logits bit-for-bit
+    dense_p, dense_s = sg.expand_to_dense(packed, manifest, params, batch_stats)
+    out = model.apply({'params': dense_p, 'batch_stats': dense_s},
+                      images, train=False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_mobilenet_shrink_follows_depthwise():
+    from pocketflow_tpu.tools import shrink_graph as sg
+    from pocketflow_tpu.nets.mobilenet import MobileNetV1
+    with FLAGS.scope(batch_size=2):
+        model = MobileNetV1(nb_classes=10, dtype=jnp.float32)
+        x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = jax.device_get(variables['params'])
+    batch_stats = jax.device_get(variables['batch_stats'])
+    params = _zero_in_channels(params, [0])
+    images = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+    ref = model.apply({'params': params, 'batch_stats': batch_stats},
+                      images, train=False)
+
+    graph = sg.capture_conv_graph(model, {'params': params,
+                                          'batch_stats': batch_stats}, x.shape)
+    assert graph.depthwise, 'depthwise convs not detected'
+    packed, manifest = sg.shrink_residual_aware(params, batch_stats, graph)
+    assert manifest['components']
+    # find a component whose consumers include a depthwise conv: the dw
+    # kernel must shrink along its channel axis together with the producer
+    dw_comp = next((c for c in manifest['components']
+                    if any(cons in graph.depthwise for cons in c['consumers'])),
+                   None)
+    assert dw_comp is not None
+    dw_path = next(cons for cons in dw_comp['consumers']
+                   if cons in graph.depthwise)
+    assert packed[dw_path + '/kernel'].shape[3] == len(dw_comp['kept_channels'])
+
+    dense_p, dense_s = sg.expand_to_dense(packed, manifest, params, batch_stats)
+    out = model.apply({'params': dense_p, 'batch_stats': dense_s},
+                      images, train=False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_export_cli_residual_mode(tmp_path):
+    """chn-pruned-residual export: artifact + FLOPs audit + exact self-check."""
+    import json
+    import os
+    from pocketflow_tpu.core import checkpoint as ckpt_lib
+    from pocketflow_tpu.nets.resnet_at_cifar10 import ModelHelper
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+
+    with FLAGS.scope(batch_size=4, batch_size_eval=4, resnet_size=20,
+                     nb_smpls_train=64, nb_smpls_eval=32,
+                     compute_dtype='float32'):
+        learner = FullPrecLearner(None, ModelHelper())
+        state, _, _ = learner.init_state()
+        params = jax.device_get(state.params)
+        params = _zero_in_channels(params, [0, 1, 2])
+        state = state.replace(params=params)
+        ckpt = str(tmp_path / 'models' / 'model.ckpt')
+        ckpt_lib.save(ckpt, state, 0)
+
+        from pocketflow_tpu.tools import export_cli
+        out = export_cli.main([
+            '--export_model=resnet_at_cifar10', '--resnet_size=20',
+            '--synthetic_data', '--compute_dtype=float32',
+            '--ckpt_path=%s' % ckpt,
+            '--export_mode=chn-pruned-residual',
+            '--output_path=%s' % (tmp_path / 'export' / 'model')])
+    assert os.path.exists(out)
+    with open(out + '.manifest.json') as fin:
+        manifest = json.load(fin)
+    audit = manifest['flops_audit']
+    assert audit['reduction'] > 0.1  # 3 of 16 trunk channels gone everywhere
+    assert manifest['components']
