@@ -47,41 +47,80 @@ def pad_random_crop(images: jax.Array, rng: jax.Array, pad: int = 4) -> jax.Arra
     return jax.vmap(crop_one)(padded, ry, rx)
 
 
+def _bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Bilinear gather of img [H,W,C] at float row coords ys and col coords xs."""
+    H, W = img.shape[:2]
+    y0 = jnp.clip(jnp.floor(ys), 0, H - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs), 0, W - 2).astype(jnp.int32)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = jnp.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    f = img.astype(jnp.float32)
+    f00 = f[y0][:, x0]
+    f01 = f[y0][:, x0 + 1]
+    f10 = f[y0 + 1][:, x0]
+    f11 = f[y0 + 1][:, x0 + 1]
+    return (f00 * (1 - wy) * (1 - wx) + f01 * (1 - wy) * wx
+            + f10 * wy * (1 - wx) + f11 * wy * wx)
+
+
 def random_crop_resize(images: jax.Array, rng: jax.Array,
                        out_size: Tuple[int, int],
-                       area_range: Tuple[float, float] = (0.08, 1.0)) -> jax.Array:
-    """Inception-style random-area crop + bilinear resize (train preproc).
+                       area_range: Tuple[float, float] = (0.08, 1.0),
+                       aspect_range: Tuple[float, float] = (3 / 4, 4 / 3)
+                       ) -> jax.Array:
+    """Inception-style random area + ASPECT-RATIO distorted crop, bilinear
+    resize (train preproc; reference `sample_distorted_bounding_box` with
+    aspect_ratio_range=(0.75, 1.33), area_range=(0.08, 1.0) in
+    utils/external's imagenet preprocessing).
 
-    Simplified fixed-shape variant of the reference's bbox-aware sampled
-    distorted crop: sample a scale factor, crop a square region, resize.
+    Fixed-shape redesign: per-sample (area, log-uniform aspect) -> rectangular
+    crop window clamped inside the stored image, realized as a bilinear
+    gather grid.  (The stored shards are pre-cropped squares, so gt-bbox
+    conditioning of the reference's sampler is not available — the converter
+    records no boxes for classification data; the aspect + area distortion is
+    the component that matters for augmentation diversity.)
     """
     batch, height, width, _ = images.shape
-    k_scale, k_off = jax.random.split(rng)
-    area = jax.random.uniform(rng, (batch,), minval=area_range[0], maxval=area_range[1])
-    side_frac = jnp.sqrt(area)
-    max_side = min(height, width)
-    sides = jnp.maximum((side_frac * max_side).astype(jnp.int32), 8)
-    offy = (jax.random.uniform(k_off, (batch,)) * (height - sides)).astype(jnp.int32)
-    offx = (jax.random.uniform(k_scale, (batch,)) * (width - sides)).astype(jnp.int32)
+    k_area, k_aspect, k_oy, k_ox = jax.random.split(rng, 4)
+    area = jax.random.uniform(k_area, (batch,), minval=area_range[0],
+                              maxval=area_range[1])
+    log_ar = jax.random.uniform(
+        k_aspect, (batch,), minval=jnp.log(aspect_range[0]),
+        maxval=jnp.log(aspect_range[1]))
+    aspect = jnp.exp(log_ar)   # w / h
+    # crop box in pixels, clamped to the stored image
+    crop_h = jnp.sqrt(area * height * width / aspect)
+    crop_w = crop_h * aspect
+    crop_h = jnp.clip(crop_h, 8.0, float(height))
+    crop_w = jnp.clip(crop_w, 8.0, float(width))
+    offy = jax.random.uniform(k_oy, (batch,)) * (height - crop_h)
+    offx = jax.random.uniform(k_ox, (batch,)) * (width - crop_w)
 
-    def crop_resize_one(img, oy, ox, side):
-        # Fixed-size gather grid: sample out_size points from the crop window.
-        ys = oy + (jnp.arange(out_size[0]) * side) // out_size[0]
-        xs = ox + (jnp.arange(out_size[1]) * side) // out_size[1]
-        return img[ys][:, xs]
+    ry = jnp.arange(out_size[0], dtype=jnp.float32) / out_size[0]
+    rx = jnp.arange(out_size[1], dtype=jnp.float32) / out_size[1]
 
-    return jax.vmap(crop_resize_one)(images, offy, offx, sides).astype(images.dtype)
+    def crop_resize_one(img, oy, ox, ch, cw):
+        ys = oy + ry * ch
+        xs = ox + rx * cw
+        return _bilinear_sample(img, ys, xs)
+
+    out = jax.vmap(crop_resize_one)(images, offy, offx, crop_h, crop_w)
+    return out.astype(images.dtype) if images.dtype != jnp.uint8 \
+        else jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 def center_crop_resize(images: jax.Array, out_size: Tuple[int, int],
                        crop_frac: float = 0.875) -> jax.Array:
-    """Eval preproc: central crop (fraction) + nearest resize."""
-    _, height, width, _ = images.shape
-    side = int(min(height, width) * crop_frac)
-    offy, offx = (height - side) // 2, (width - side) // 2
-    ys = offy + (jnp.arange(out_size[0]) * side) // out_size[0]
-    xs = offx + (jnp.arange(out_size[1]) * side) // out_size[1]
-    return images[:, ys][:, :, xs]
+    """Eval preproc: central crop (fraction) + bilinear resize (reference's
+    87.5% central_fraction eval path)."""
+    batch, height, width, _ = images.shape
+    side = min(height, width) * crop_frac
+    offy, offx = (height - side) / 2.0, (width - side) / 2.0
+    ys = offy + jnp.arange(out_size[0], dtype=jnp.float32) / out_size[0] * side
+    xs = offx + jnp.arange(out_size[1], dtype=jnp.float32) / out_size[1] * side
+    out = jax.vmap(lambda img: _bilinear_sample(img, ys, xs))(images)
+    return out.astype(images.dtype) if images.dtype != jnp.uint8 \
+        else jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 def per_image_standardize(images: jax.Array) -> jax.Array:

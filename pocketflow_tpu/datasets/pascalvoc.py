@@ -63,11 +63,18 @@ class PascalVocDataset(AbstractDataset):
         for path in paths:
             blob = np.load(path, allow_pickle=True)
             images.append(blob['images'])
-            for boxes in blob['boxes']:
+            difficult = blob['difficult'] if 'difficult' in blob.files else None
+            for idx, boxes in enumerate(blob['boxes']):
                 padded = np.zeros((nb_max, 6), np.float32)
                 n = min(len(boxes), nb_max)
                 padded[:n, :5] = boxes[:n]
                 padded[:n, 5] = 1.0
+                if difficult is not None and len(difficult[idx]):
+                    # VOC protocol: 'difficult' ground truth is never matched
+                    # in training (negative validity kills its IoU) and is
+                    # IGNORED (neither tp nor fp) by the mAP evaluator
+                    diff = difficult[idx][:n].astype(bool)
+                    padded[:n, 5] = np.where(diff, -1.0, 1.0)
                 labels.append(padded)
         return np.concatenate(images), np.stack(labels)
 

@@ -134,6 +134,56 @@ def proposal_targets(proposals: jax.Array, valid: jax.Array,
     return cls_t, box_t, fg.astype(jnp.float32), valid.astype(jnp.float32)
 
 
+def sample_rois(proposals: jax.Array, valid: jax.Array, gt_boxes: jax.Array,
+                gt_classes: jax.Array, gt_valid: jax.Array, rng: jax.Array,
+                nb_rois: int, fg_fraction: float = 0.25,
+                fg_iou: float = 0.5, bg_iou_lo: float = 0.0):
+    """Fixed-shape fg/bg ROI minibatch sampling (proposal_target_layer).
+
+    The reference samples a fixed ROI minibatch per image with a foreground
+    fraction (py-faster-rcnn semantics behind
+    /root/reference/nets/faster_rcnn_at_pascalvoc.py:471-513's vendored
+    proposal_target_layer): up to ``fg_fraction * nb_rois`` foreground ROIs
+    (IoU >= fg_iou), the rest background.  Jittable redesign: score every
+    proposal with a priority = (is_candidate << 20) + random tiebreak, take
+    top-k foregrounds and top-k backgrounds by priority, concatenate.
+
+    Returns (roi_idx [nb_rois], cls_t, box_t, fg, valid_mask).
+    """
+    iou = anchor_lib.iou_matrix(proposals, gt_boxes) * gt_valid[None, :]
+    best_iou = jnp.max(iou, axis=1)
+    best_gt = jnp.argmax(iou, axis=1)
+    is_fg = jnp.logical_and(best_iou >= fg_iou, valid)
+    is_bg = jnp.logical_and(jnp.logical_and(best_iou < fg_iou,
+                                            best_iou >= bg_iou_lo), valid)
+    k_fg = int(round(nb_rois * fg_fraction))
+    k_bg = nb_rois - k_fg
+    if rng is not None:
+        tie = jax.random.uniform(rng, best_iou.shape)
+    else:
+        # deterministic data-dependent tiebreak: varies with the proposal
+        # coordinates, so the sampled minibatch changes as training moves
+        h = jnp.sin(jnp.sum(proposals * jnp.asarray(
+            [12.9898, 78.233, 37.719, 4.581], proposals.dtype), axis=1)
+            * 43758.5453)
+        tie = h - jnp.floor(h)
+    fg_rank = jnp.where(is_fg, 1.0 + tie, tie * 1e-3)
+    bg_rank = jnp.where(is_bg, 1.0 + tie, tie * 1e-3)
+    _, fg_idx = jax.lax.top_k(fg_rank, k_fg)
+    _, bg_idx = jax.lax.top_k(bg_rank, k_bg)
+    roi_idx = jnp.concatenate([fg_idx, bg_idx])
+    # a slot is real fg/bg only if its candidate mask held (top_k may have
+    # been forced to fill from non-candidates)
+    fg = jnp.concatenate([is_fg[fg_idx],
+                          jnp.zeros(k_bg, bool)]).astype(jnp.float32)
+    slot_valid = jnp.concatenate([is_fg[fg_idx], is_bg[bg_idx]])
+    cls_t = jnp.where(fg > 0.5,
+                      gt_classes[best_gt[roi_idx]].astype(jnp.int32), 0)
+    box_t = anchor_lib.encode_boxes(gt_boxes[best_gt[roi_idx]],
+                                    proposals[roi_idx])
+    return roi_idx, cls_t, box_t, fg, slot_valid.astype(jnp.float32)
+
+
 def rpn_loss(obj_logits: jax.Array, rpn_deltas: jax.Array,
              labels: jax.Array, box_targets: jax.Array) -> jax.Array:
     """Objectness BCE (ignoring label -1) + smooth-L1 on positives."""

@@ -43,7 +43,8 @@ def parse_detections(cls_probs: np.ndarray, boxes: np.ndarray,
                      max_per_class: int = 200) -> List[Dict]:
     """Per-class select/filter/sort/NMS for ONE image.
 
-    cls_probs [A, C] (class 0 = background), boxes [A, 4].
+    cls_probs [A, C] (class 0 = background); boxes [A, 4] (shared boxes,
+    SSD-style) or [A, C, 4] (class-specific box deltas, Faster-RCNN-style).
     Returns a list of {'class', 'score', 'box'} detections.
     """
     out = []
@@ -53,7 +54,8 @@ def parse_detections(cls_probs: np.ndarray, boxes: np.ndarray,
         sel = scores > score_threshold
         if not np.any(sel):
             continue
-        cls_boxes, cls_scores = boxes[sel], scores[sel]
+        cls_all_boxes = boxes[:, cls] if boxes.ndim == 3 else boxes
+        cls_boxes, cls_scores = cls_all_boxes[sel], scores[sel]
         keep = nms(cls_boxes, cls_scores, iou_threshold, max_per_class)
         for i in keep:
             out.append({'class': cls, 'score': float(cls_scores[i]),

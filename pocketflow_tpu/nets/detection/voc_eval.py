@@ -49,19 +49,26 @@ def evaluate_detections(all_detections: List[List[Dict]],
     """Compute per-class AP + mAP.
 
     all_detections[i]  = list of {'class','score','box'} for image i;
-    all_groundtruth[i] = [M, 6] rows [class, ymin, xmin, ymax, xmax, valid].
+    all_groundtruth[i] = [M, 6] rows [class, ymin, xmin, ymax, xmax, valid]
+    where valid is 1.0 (counted), 0.0 (padding) or -1.0 ('difficult' — the
+    VOC protocol ignores it: not a positive, and a detection matching it is
+    not a false positive either).
     """
     aps = {}
     for cls in range(1, nb_classes):
         records = []  # (score, image_idx, box)
         nb_gt = 0
-        gt_boxes_per_img, gt_used_per_img = [], []
+        gt_boxes_per_img, gt_used_per_img, gt_ignore_per_img = [], [], []
         for gt in all_groundtruth:
-            valid = (gt[:, 5] > 0.5) & (gt[:, 0] == cls)
-            boxes = gt[valid, 1:5]
+            of_cls = gt[:, 0] == cls
+            valid = (gt[:, 5] > 0.5) & of_cls
+            ignore = (gt[:, 5] < -0.5) & of_cls
+            sel = valid | ignore
+            boxes = gt[sel, 1:5]
             gt_boxes_per_img.append(boxes)
             gt_used_per_img.append(np.zeros(len(boxes), bool))
-            nb_gt += len(boxes)
+            gt_ignore_per_img.append(gt[sel, 5] < -0.5)
+            nb_gt += int(np.sum(valid))
         for img_idx, dets in enumerate(all_detections):
             for d in dets:
                 if d['class'] == cls:
@@ -78,9 +85,14 @@ def evaluate_detections(all_detections: List[List[Dict]],
                 continue
             ious = _iou(box, gts)
             best = int(np.argmax(ious))
-            if ious[best] >= iou_threshold and not gt_used_per_img[img_idx][best]:
-                tp[rank] = 1
-                gt_used_per_img[img_idx][best] = True
+            if ious[best] >= iou_threshold:
+                if gt_ignore_per_img[img_idx][best]:
+                    pass  # matched a 'difficult' box: ignored entirely
+                elif not gt_used_per_img[img_idx][best]:
+                    tp[rank] = 1
+                    gt_used_per_img[img_idx][best] = True
+                else:
+                    fp[rank] = 1
             else:
                 fp[rank] = 1
         cum_tp, cum_fp = np.cumsum(tp), np.cumsum(fp)

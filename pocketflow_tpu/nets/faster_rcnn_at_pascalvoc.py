@@ -2,10 +2,20 @@
 
 Rebuild of /root/reference/nets/faster_rcnn_at_pascalvoc.py (745 LoC wrapper
 over ~1.4k LoC of vendored TF code).  ``forward_w_labels=True`` as in the
-reference (:471-513): target assignment happens inside the forward pass, so
-the train forward needs ground truth.  All stages — RPN, proposal NMS,
-ROI-align, heads, target layers — are fixed-shape jittable functions
+reference (:471-513): target assignment AND fg/bg ROI minibatch sampling
+happen inside the forward pass, so the train forward needs ground truth.
+All stages — multi-level RPN, proposal NMS, ROI sampling, ROI-align, heads,
+target layers — are fixed-shape jittable functions
 (nets/detection/faster_rcnn.py); nothing leaves the device during training.
+
+Reference parity points:
+* fg/bg proposal sampling with a foreground fraction (proposal_target_layer
+  semantics) — `frcnn_roi_batch` ROIs/image, `frcnn_fg_fraction` foreground;
+* multi-scale anchors over TWO feature levels (stride 8 + stride 16), scales
+  split per level (the vendored impl uses scales 8/16/32 on one stride-16
+  map; two levels cover the same receptive range with denser small anchors);
+* eval decodes CLASS-SPECIFIC box deltas and runs per-class NMS
+  (nms.parse_detections), then VOC mAP through the dump_n_eval protocol.
 """
 
 from __future__ import annotations
@@ -26,19 +36,26 @@ from pocketflow_tpu.nets.detection import faster_rcnn as frcnn
 from pocketflow_tpu.nets.detection import nms as nms_lib
 from pocketflow_tpu.nets.detection import voc_eval
 from pocketflow_tpu.nn import BatchNorm, PFConv, max_pool, relu
-from pocketflow_tpu.nn.layers import PFDense
+from pocketflow_tpu.nn.layers import PFDense, compression
 
 FLAGS.DEFINE_integer('frcnn_nb_proposals', 64, 'Faster-RCNN: # of proposals kept')
 FLAGS.DEFINE_integer('frcnn_nb_pre_nms', 512, 'Faster-RCNN: top-k before NMS')
 FLAGS.DEFINE_float('frcnn_rpn_nms_threshold', 0.7, 'Faster-RCNN: RPN NMS IoU')
 FLAGS.DEFINE_integer('frcnn_roi_size', 7, 'Faster-RCNN: ROI-align output size')
+FLAGS.DEFINE_integer('frcnn_roi_batch', 32,
+                     'Faster-RCNN: sampled ROI minibatch per image (train)')
+FLAGS.DEFINE_float('frcnn_fg_fraction', 0.25,
+                   'Faster-RCNN: foreground fraction of the ROI minibatch')
 
-RPN_SCALES = (0.15, 0.3, 0.5, 0.75)
+# anchor scales per feature level: stride-8 level gets the small objects,
+# stride-16 level the large (reference vendored impl: scales 8/16/32 at
+# stride 16 -> 0.25/0.5/1.0 of a 512 input; split across two levels here)
+RPN_LEVEL_SCALES = ((0.1, 0.2, 0.35), (0.5, 0.7, 0.95))
 RPN_RATIOS = (0.5, 1.0, 2.0)
 
 
 class SmallResNetBackbone(nn.Module):
-    """Compact ResNet-style backbone -> stride-8 feature map."""
+    """Compact ResNet-style backbone -> (stride-8, stride-16) feature maps."""
     dtype: object = jnp.bfloat16
 
     @nn.compact
@@ -49,22 +66,45 @@ class SmallResNetBackbone(nn.Module):
         x = relu(x)
         x = max_pool(x, (3, 3), (2, 2), padding='SAME')
         from pocketflow_tpu.nets.resnet import BasicBlock
-        for idx, width in enumerate((64, 128, 128)):
-            strides = (2, 2) if idx == 2 else (1, 1)
-            x = BasicBlock(width, strides, self.dtype,
-                           name='block%d' % idx)(x, train)
-        return x  # stride 8 after init(4) * block2(2)... stride 8
+        x = BasicBlock(64, (1, 1), self.dtype, name='block0')(x, train)
+        x = BasicBlock(128, (1, 1), self.dtype, name='block1')(x, train)
+        c3 = BasicBlock(128, (2, 2), self.dtype, name='block2')(x, train)  # stride 8
+        c4 = BasicBlock(256, (2, 2), self.dtype, name='block3')(c3, train)  # stride 16
+        return c3, c4
+
+
+def _anchors_for(fsize: int, scales) -> jnp.ndarray:
+    anchors = []
+    for y in range(fsize):
+        for x in range(fsize):
+            cy, cx = (y + 0.5) / fsize, (x + 0.5) / fsize
+            for s in scales:
+                for r in RPN_RATIOS:
+                    h, w = s * (r ** 0.5), s / (r ** 0.5)
+                    anchors.append([cy - h / 2, cx - w / 2,
+                                    cy + h / 2, cx + w / 2])
+    return jnp.clip(jnp.asarray(anchors, jnp.float32), 0.0, 1.0)
 
 
 class FasterRCNN(nn.Module):
-    """RPN + ROI heads; __call__(images, labels, train) -> outputs dict."""
+    """Two-level RPN + sampled ROI heads.
+
+    __call__(images, labels, train) -> outputs dict.  When ``labels`` are
+    given (train forward; forward_w_labels), the ROI head runs on a SAMPLED
+    fg/bg minibatch and the outputs carry the sampled targets; at eval the
+    head scores every proposal.
+    """
     nb_classes: int = 21
     dtype: object = jnp.bfloat16
 
     def setup(self):
         self.backbone = SmallResNetBackbone(dtype=self.dtype, name='backbone')
+        # FPN-style lateral 1x1 convs bring both levels to a common width so
+        # the RPN tower + heads are SHARED across levels
+        self.laterals = [PFConv(256, (1, 1), dtype=self.dtype,
+                                name='lateral%d' % i) for i in range(2)]
         self.rpn_conv = PFConv(256, (3, 3), dtype=self.dtype, name='rpn_conv')
-        nb_anchors = len(RPN_SCALES) * len(RPN_RATIOS)
+        nb_anchors = len(RPN_LEVEL_SCALES[0]) * len(RPN_RATIOS)
         self.rpn_obj = PFConv(nb_anchors, (1, 1), dtype=self.dtype, name='rpn_obj')
         self.rpn_box = PFConv(nb_anchors * 4, (1, 1), dtype=self.dtype, name='rpn_box')
         self.fc1 = PFDense(512, dtype=self.dtype, name='fc1')
@@ -72,40 +112,62 @@ class FasterRCNN(nn.Module):
         self.cls_head = PFDense(self.nb_classes, dtype=self.dtype, name='cls_head')
         self.box_head = PFDense(self.nb_classes * 4, dtype=self.dtype, name='box_head')
 
-    def _anchors_for(self, fsize: int) -> jnp.ndarray:
-        anchors = []
-        for y in range(fsize):
-            for x in range(fsize):
-                cy, cx = (y + 0.5) / fsize, (x + 0.5) / fsize
-                for s in RPN_SCALES:
-                    for r in RPN_RATIOS:
-                        h, w = s * (r ** 0.5), s / (r ** 0.5)
-                        anchors.append([cy - h / 2, cx - w / 2,
-                                        cy + h / 2, cx + w / 2])
-        return jnp.clip(jnp.asarray(anchors, jnp.float32), 0.0, 1.0)
-
     def __call__(self, images, labels=None, train: bool = True):
-        feats = self.backbone(images, train)
-        rpn = relu(self.rpn_conv(feats))
-        fsize = feats.shape[1]
-        anchors = self._anchors_for(fsize)
         b = images.shape[0]
-        obj_logits = self.rpn_obj(rpn).reshape(b, -1).astype(jnp.float32)
-        rpn_deltas = self.rpn_box(rpn).reshape(b, -1, 4).astype(jnp.float32)
+        levels = self.backbone(images, train)
+        obj_list, delta_list, anchor_list = [], [], []
+        for lvl, (feats, scales) in enumerate(zip(levels, RPN_LEVEL_SCALES)):
+            feats = self.laterals[lvl](feats)
+            rpn = relu(self.rpn_conv(feats))       # shared RPN head
+            obj_list.append(self.rpn_obj(rpn).reshape(b, -1).astype(jnp.float32))
+            delta_list.append(self.rpn_box(rpn).reshape(b, -1, 4).astype(jnp.float32))
+            anchor_list.append(_anchors_for(feats.shape[1], scales))
+        obj_logits = jnp.concatenate(obj_list, axis=1)
+        rpn_deltas = jnp.concatenate(delta_list, axis=1)
+        anchors = jnp.concatenate(anchor_list, axis=0)
 
         nb_props = FLAGS.frcnn_nb_proposals
+        # ROI minibatch cannot exceed the proposal pool
+        nb_rois = (min(FLAGS.frcnn_roi_batch, nb_props)
+                   if labels is not None else nb_props)
+        fg_fraction = FLAGS.frcnn_fg_fraction
+        roi_size = FLAGS.frcnn_roi_size
+        pool_feats = levels[0]   # ROI-align on the finest level
 
-        def per_image(obj, deltas, feat):
+        def per_image(obj, deltas, feat, lab):
             props, valid = frcnn.propose(
                 jax.nn.sigmoid(obj), deltas, anchors,
                 FLAGS.frcnn_nb_pre_nms, nb_props,
                 FLAGS.frcnn_rpn_nms_threshold)
-            rois = frcnn.roi_align(feat.astype(jnp.float32), props,
-                                   FLAGS.frcnn_roi_size)
-            return props, valid, rois
+            if lab is not None:
+                gt_boxes, gt_cls, gt_valid = lab[:, 1:5], lab[:, 0], lab[:, 5]
+                # proposal_target_layer semantics: the gt boxes JOIN the
+                # proposal pool, so foreground ROIs exist from step 0
+                pool = jnp.concatenate([props, gt_boxes], axis=0)
+                pool_valid = jnp.concatenate([valid, gt_valid > 0.5])
+                roi_idx, cls_t, box_t, fg, vmask = frcnn.sample_rois(
+                    pool, pool_valid, gt_boxes, gt_cls, gt_valid, None,
+                    nb_rois, fg_fraction)
+                rois_boxes = pool[roi_idx]
+            else:
+                cls_t = box_t = fg = vmask = None
+                rois_boxes = props
+            rois = frcnn.roi_align(feat.astype(jnp.float32), rois_boxes,
+                                   roi_size)
+            return props, valid, rois, rois_boxes, cls_t, box_t, fg, vmask
 
-        props, valid, rois = jax.vmap(per_image)(obj_logits, rpn_deltas, feats)
-        x = rois.reshape(b * nb_props, -1).astype(self.dtype)
+        if labels is not None:
+            labels_f = labels.astype(jnp.float32)
+            props, valid, rois, rois_boxes, cls_t, box_t, fg, vmask = \
+                jax.vmap(per_image)(obj_logits, rpn_deltas,
+                                    pool_feats, labels_f)
+        else:
+            props, valid, rois, rois_boxes, _, _, _, _ = jax.vmap(
+                lambda o, d, f: per_image(o, d, f, None))(
+                    obj_logits, rpn_deltas, pool_feats)
+            cls_t = box_t = fg = vmask = None
+
+        x = rois.reshape(b * nb_rois, -1).astype(self.dtype)
         x = relu(self.fc1(x))
         x = relu(self.fc2(x))
         cls_logits = self.cls_head(x).astype(jnp.float32)
@@ -116,9 +178,13 @@ class FasterRCNN(nn.Module):
             'rpn_deltas': rpn_deltas,
             'proposals': props,
             'proposal_valid': valid,
-            'cls_logits': cls_logits.reshape(b, nb_props, self.nb_classes),
-            'box_deltas': box_deltas.reshape(b, nb_props, self.nb_classes * 4),
+            'roi_boxes': rois_boxes,
+            'cls_logits': cls_logits.reshape(b, nb_rois, self.nb_classes),
+            'box_deltas': box_deltas.reshape(b, nb_rois, self.nb_classes * 4),
         }
+        if cls_t is not None:
+            outputs.update(roi_cls_targets=cls_t, roi_box_targets=box_t,
+                           roi_fg=fg, roi_valid=vmask)
         return outputs
 
 
@@ -146,35 +212,67 @@ class ModelHelper(AbstractModelHelper):
         dtype = jnp.bfloat16 if FLAGS.compute_dtype == 'bfloat16' else jnp.float32
         return FasterRCNN(nb_classes=self.nb_classes, dtype=dtype)
 
+    def forward_train(self, model, variables, inputs, policy=None, labels=None):
+        """Train forward WITH labels: in-graph target assignment + sampling
+        (the reason the reference sets forward_w_labels=True)."""
+        with compression(policy):
+            outputs, new_state = model.apply(
+                variables, inputs, labels=labels, train=True,
+                mutable=['batch_stats'])
+        return outputs, new_state
+
+    def forward_eval(self, model, variables, inputs, policy=None):
+        with compression(policy):
+            return model.apply(variables, inputs, labels=None, train=False)
+
     def calc_loss(self, labels, outputs, trainable_vars):
         labels = labels.astype(jnp.float32)
         anchors = outputs['anchors']
 
-        def per_image(obj, rpn_d, props, valid, cls_l, box_d, lab):
-            gt_boxes, gt_cls, gt_valid = lab[:, 1:5], lab[:, 0], lab[:, 5]
+        def rpn_per_image(obj, rpn_d, lab):
+            gt_boxes, gt_valid = lab[:, 1:5], lab[:, 5]
             rpn_lab, rpn_t = frcnn.rpn_targets(gt_boxes, gt_valid, anchors)
-            l_rpn = frcnn.rpn_loss(obj, rpn_d, rpn_lab, rpn_t)
-            cls_t, box_t, fg, vmask = frcnn.proposal_targets(
-                props, valid, gt_boxes, gt_cls, gt_valid)
-            l_rcnn = frcnn.rcnn_loss(cls_l, box_d, cls_t, box_t, fg, vmask)
-            # proxy accuracy: fraction of fg ROIs classified correctly
-            pred = jnp.argmax(cls_l, axis=-1)
-            acc = jnp.sum((pred == cls_t) * fg) / jnp.maximum(jnp.sum(fg), 1.0)
-            return l_rpn, l_rcnn, acc
+            return frcnn.rpn_loss(obj, rpn_d, rpn_lab, rpn_t)
 
-        l_rpn, l_rcnn, acc = jax.vmap(per_image)(
-            outputs['obj_logits'], outputs['rpn_deltas'], outputs['proposals'],
-            outputs['proposal_valid'], outputs['cls_logits'],
-            outputs['box_deltas'], labels)
+        l_rpn = jax.vmap(rpn_per_image)(
+            outputs['obj_logits'], outputs['rpn_deltas'], labels)
+
+        if 'roi_cls_targets' in outputs:
+            # sampled minibatch path: targets were assigned in the forward
+            def rcnn_per_image(cls_l, box_d, cls_t, box_t, fg, vmask):
+                l = frcnn.rcnn_loss(cls_l, box_d, cls_t, box_t, fg, vmask)
+                pred = jnp.argmax(cls_l, axis=-1)
+                acc = (jnp.sum((pred == cls_t) * fg)
+                       / jnp.maximum(jnp.sum(fg), 1.0))
+                return l, acc, jnp.sum(fg)
+
+            l_rcnn, acc, nb_fg = jax.vmap(rcnn_per_image)(
+                outputs['cls_logits'], outputs['box_deltas'],
+                outputs['roi_cls_targets'], outputs['roi_box_targets'],
+                outputs['roi_fg'], outputs['roi_valid'])
+            metrics = {'nb_fg_rois': jnp.mean(nb_fg)}
+        else:
+            # eval-style outputs (all proposals): assign targets here
+            def rcnn_eval_image(props, valid, cls_l, box_d, lab):
+                gt_boxes, gt_cls, gt_valid = lab[:, 1:5], lab[:, 0], lab[:, 5]
+                cls_t, box_t, fg, vmask = frcnn.proposal_targets(
+                    props, valid, gt_boxes, gt_cls, gt_valid)
+                l = frcnn.rcnn_loss(cls_l, box_d, cls_t, box_t, fg, vmask)
+                pred = jnp.argmax(cls_l, axis=-1)
+                acc = (jnp.sum((pred == cls_t) * fg)
+                       / jnp.maximum(jnp.sum(fg), 1.0))
+                return l, acc
+
+            l_rcnn, acc = jax.vmap(rcnn_eval_image)(
+                outputs['roi_boxes'], outputs['proposal_valid'],
+                outputs['cls_logits'], outputs['box_deltas'], labels)
+            metrics = {}
+
         loss = jnp.mean(l_rpn) + jnp.mean(l_rcnn)
         loss = loss + self.weight_decay_loss(trainable_vars, exclude_bn=True)
-        return loss, {'rpn_loss': jnp.mean(l_rpn), 'rcnn_loss': jnp.mean(l_rcnn),
-                      'accuracy': jnp.mean(acc)}
-
-    def forward_eval(self, model, variables, inputs, policy=None):
-        from pocketflow_tpu.nn.layers import compression
-        with compression(policy):
-            return model.apply(variables, inputs, labels=None, train=False)
+        return loss, {'rpn_loss': jnp.mean(l_rpn),
+                      'rcnn_loss': jnp.mean(l_rcnn),
+                      'accuracy': jnp.mean(acc), **metrics}
 
     def warm_start(self, state):
         """Graft backbone weights from a classification checkpoint
@@ -204,22 +302,23 @@ class ModelHelper(AbstractModelHelper):
             out, labels = outputs
             probs = np.asarray(jax.device_get(
                 jax.nn.softmax(out['cls_logits'], axis=-1)))
-            props = np.asarray(jax.device_get(out['proposals']))
+            props = np.asarray(jax.device_get(out['roi_boxes']))
             deltas = np.asarray(jax.device_get(out['box_deltas']))
             valid = np.asarray(jax.device_get(out['proposal_valid']))
             labels = np.asarray(jax.device_get(labels))
             nb_classes = probs.shape[-1]
             for i in range(probs.shape[0]):
-                d = deltas[i].reshape(-1, nb_classes, 4)
-                best_cls = probs[i, :, 1:].argmax(-1) + 1
-                own = d[np.arange(d.shape[0]), best_cls]
-                boxes = np.asarray(jax.device_get(anchor_lib.decode_boxes(
-                    jnp.asarray(own), jnp.asarray(props[i]))))
-                dets = []
+                # CLASS-SPECIFIC decode: every class's own deltas produce its
+                # own boxes (reference per-class parse + NMS)
+                d = deltas[i].reshape(-1, nb_classes, 4)          # [R, C, 4]
+                boxes_pc = np.asarray(jax.device_get(anchor_lib.decode_boxes(
+                    jnp.asarray(d.reshape(-1, 4)),
+                    jnp.repeat(jnp.asarray(props[i]), nb_classes, axis=0))))
+                boxes_pc = boxes_pc.reshape(-1, nb_classes, 4)
                 probs_i = probs[i].copy()
                 probs_i[valid[i] < 0.5] = 0.0
-                dets = nms_lib.parse_detections(probs_i, boxes,
-                                                score_threshold=0.05)
+                dets = nms_lib.parse_detections(
+                    probs_i, boxes_pc, score_threshold=0.05)
                 self._detections.append(dets)
                 self._groundtruth.append(labels[i])
             return None
@@ -228,7 +327,13 @@ class ModelHelper(AbstractModelHelper):
                 self._detections, self._groundtruth, self.nb_classes)
         raise ValueError('unrecognized dump_n_eval action: ' + action)
 
-    def evaluate_map(self, model, state, dataset, nb_batches: int = 8):
+    def evaluate_map(self, model, state, dataset,
+                     nb_batches: Optional[int] = None):
+        """VOC mAP over the full eval set by default (reference scores all
+        4,952 test images, vgg_at_pascalvoc.py:554-583)."""
+        if nb_batches is None:
+            nb_batches = max(1, -(-dataset.spec.nb_smpls_eval
+                                  // dataset.batch_size))
         self.dump_n_eval(action='init')
         iterator = dataset.build()
         fwd = jax.jit(lambda v, x: model.apply(v, x, labels=None, train=False))

@@ -105,3 +105,30 @@ def test_frcnn_warm_start_grafts_backbone(tmp_path):
         out = helper.warm_start(state)
         np.testing.assert_array_equal(
             np.asarray(out.params['backbone']['conv_init']['kernel']), 3.0)
+
+
+def test_random_crop_resize_aspect_distortion():
+    """Inception-style train crop: aspect ratios actually vary and output is
+    fixed-shape."""
+    import jax
+    import jax.numpy as jnp
+    from pocketflow_tpu.datasets import augment
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, size=(8, 64, 64, 3),
+                                      dtype=np.uint8))
+    out = augment.random_crop_resize(images, jax.random.PRNGKey(1), (32, 32))
+    assert out.shape == (8, 32, 32, 3) and out.dtype == jnp.uint8
+    # different key -> different crops (stochastic)
+    out2 = augment.random_crop_resize(images, jax.random.PRNGKey(2), (32, 32))
+    assert np.any(np.asarray(out) != np.asarray(out2))
+
+
+def test_center_crop_resize_is_deterministic_bilinear():
+    import jax.numpy as jnp
+    from pocketflow_tpu.datasets import augment
+    ramp = np.tile(np.arange(64, dtype=np.uint8)[None, :, None], (64, 1, 3))
+    images = jnp.asarray(ramp[None])
+    out = np.asarray(augment.center_crop_resize(images, (32, 32)))
+    assert out.shape == (1, 32, 32, 3)
+    # a horizontal ramp stays monotone after bilinear center crop+resize
+    assert np.all(np.diff(out[0, 16, :, 0].astype(int)) >= 0)

@@ -71,3 +71,48 @@ def test_faster_rcnn_forward_and_train_smoke(tmp_path):
         result = helper.evaluate_map(learner.model, state, learner.dataset_eval,
                                      nb_batches=1)
         assert 'mAP' in result and 0.0 <= result['mAP'] <= 1.0
+
+
+def test_sample_rois_respects_fg_fraction():
+    """proposal_target_layer semantics: fixed ROI minibatch, fg fraction."""
+    from pocketflow_tpu.nets.detection import faster_rcnn as frcnn
+    gt_boxes = jnp.asarray([[0.1, 0.1, 0.5, 0.5]], jnp.float32)
+    gt_classes = jnp.asarray([7.0])
+    gt_valid = jnp.asarray([1.0])
+    # 4 fg candidates (high IoU), 12 far-away background proposals
+    fg_props = jnp.asarray([[0.1, 0.1, 0.5, 0.52], [0.12, 0.1, 0.5, 0.5],
+                            [0.1, 0.12, 0.52, 0.5], [0.11, 0.11, 0.5, 0.5]])
+    bg_props = jnp.stack([jnp.asarray([0.6, 0.6, 0.9, 0.9]) + 0.005 * i
+                          for i in range(12)])
+    props = jnp.concatenate([fg_props, bg_props]).astype(jnp.float32)
+    valid = jnp.ones(16, bool)
+    roi_idx, cls_t, box_t, fg, vmask = frcnn.sample_rois(
+        props, valid, gt_boxes, gt_classes, gt_valid, jax.random.PRNGKey(0),
+        nb_rois=8, fg_fraction=0.25)
+    assert roi_idx.shape == (8,) and cls_t.shape == (8,)
+    assert float(jnp.sum(fg)) == 2.0  # exactly fg_fraction * nb_rois
+    # the fg slots point at actual foreground proposals with the gt class
+    fg_slots = np.nonzero(np.asarray(fg) > 0.5)[0]
+    assert all(int(roi_idx[s]) < 4 for s in fg_slots)
+    assert all(int(cls_t[s]) == 7 for s in fg_slots)
+    # background slots carry class 0 and are valid (IoU < fg threshold)
+    bg_slots = np.nonzero(np.asarray(fg) < 0.5)[0]
+    assert all(int(cls_t[s]) == 0 for s in bg_slots)
+    assert float(jnp.sum(vmask)) == 8.0
+
+
+def test_parse_detections_class_specific_boxes():
+    """Faster-RCNN eval decodes per-class boxes [A, C, 4]."""
+    from pocketflow_tpu.nets.detection import nms as nms_lib
+    probs = np.zeros((3, 3), np.float32)
+    probs[0, 1] = 0.9   # roi 0 -> class 1
+    probs[1, 2] = 0.8   # roi 1 -> class 2
+    boxes = np.zeros((3, 3, 4), np.float32)
+    boxes[0, 1] = [0.1, 0.1, 0.3, 0.3]
+    boxes[1, 2] = [0.5, 0.5, 0.9, 0.9]
+    dets = nms_lib.parse_detections(probs, boxes, score_threshold=0.05)
+    assert len(dets) == 2
+    assert dets[0]['class'] == 1
+    np.testing.assert_allclose(dets[0]['box'], [0.1, 0.1, 0.3, 0.3], rtol=1e-6)
+    assert dets[1]['class'] == 2
+    np.testing.assert_allclose(dets[1]['box'], [0.5, 0.5, 0.9, 0.9], rtol=1e-6)
