@@ -8,7 +8,7 @@ Built from PFConv/BatchNorm so every conv participates in compression policies.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -17,23 +17,39 @@ from pocketflow_tpu.nn import BatchNorm, PFConv, global_avg_pool, max_pool, relu
 from pocketflow_tpu.nn.layers import PFDense
 
 
+def _w(module: nn.Module, child: str, default: int) -> int:
+    """Per-layer width override for physically-shrunk serving models.
+
+    ``width_map`` maps module paths (e.g. 'stage1_block0/conv1') to output
+    channel counts, as produced by tools/shrink_graph.width_map_from_packed —
+    the rebuild of the reference export's "alt routines" that rebuild the
+    graph with smaller convs (export_chn_pruned_tflite_model.py:223-277).
+    """
+    wm = getattr(module, 'width_map', None)
+    if not wm:
+        return default
+    return int(wm.get('/'.join(tuple(module.path) + (child,)), default))
+
+
 class BasicBlock(nn.Module):
     features: int
     strides: Tuple[int, int] = (1, 1)
     dtype: object = jnp.bfloat16
+    width_map: Optional[Dict[str, int]] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         shortcut = x
-        y = PFConv(self.features, (3, 3), self.strides, use_bias=False,
-                   dtype=self.dtype, name='conv1')(x)
+        y = PFConv(_w(self, 'conv1', self.features), (3, 3), self.strides,
+                   use_bias=False, dtype=self.dtype, name='conv1')(x)
         y = BatchNorm(dtype=self.dtype, name='bn1')(y, use_running_average=not train)
         y = relu(y)
-        y = PFConv(self.features, (3, 3), use_bias=False, dtype=self.dtype, name='conv2')(y)
+        out_w = _w(self, 'conv2', self.features)
+        y = PFConv(out_w, (3, 3), use_bias=False, dtype=self.dtype, name='conv2')(y)
         y = BatchNorm(dtype=self.dtype, name='bn2')(y, use_running_average=not train)
         if shortcut.shape != y.shape:
-            shortcut = PFConv(self.features, (1, 1), self.strides, use_bias=False,
-                              dtype=self.dtype, name='conv_sc')(shortcut)
+            shortcut = PFConv(_w(self, 'conv_sc', out_w), (1, 1), self.strides,
+                              use_bias=False, dtype=self.dtype, name='conv_sc')(shortcut)
             shortcut = BatchNorm(dtype=self.dtype, name='bn_sc')(
                 shortcut, use_running_average=not train)
         return relu(y + shortcut)
@@ -43,22 +59,25 @@ class BottleneckBlock(nn.Module):
     features: int  # bottleneck width; output = 4x
     strides: Tuple[int, int] = (1, 1)
     dtype: object = jnp.bfloat16
+    width_map: Optional[Dict[str, int]] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         shortcut = x
-        y = PFConv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name='conv1')(x)
+        y = PFConv(_w(self, 'conv1', self.features), (1, 1), use_bias=False,
+                   dtype=self.dtype, name='conv1')(x)
         y = BatchNorm(dtype=self.dtype, name='bn1')(y, use_running_average=not train)
         y = relu(y)
-        y = PFConv(self.features, (3, 3), self.strides, use_bias=False,
-                   dtype=self.dtype, name='conv2')(y)
+        y = PFConv(_w(self, 'conv2', self.features), (3, 3), self.strides,
+                   use_bias=False, dtype=self.dtype, name='conv2')(y)
         y = BatchNorm(dtype=self.dtype, name='bn2')(y, use_running_average=not train)
         y = relu(y)
-        y = PFConv(4 * self.features, (1, 1), use_bias=False, dtype=self.dtype, name='conv3')(y)
+        out_w = _w(self, 'conv3', 4 * self.features)
+        y = PFConv(out_w, (1, 1), use_bias=False, dtype=self.dtype, name='conv3')(y)
         y = BatchNorm(dtype=self.dtype, name='bn3')(y, use_running_average=not train)
         if shortcut.shape != y.shape:
-            shortcut = PFConv(4 * self.features, (1, 1), self.strides, use_bias=False,
-                              dtype=self.dtype, name='conv_sc')(shortcut)
+            shortcut = PFConv(_w(self, 'conv_sc', out_w), (1, 1), self.strides,
+                              use_bias=False, dtype=self.dtype, name='conv_sc')(shortcut)
             shortcut = BatchNorm(dtype=self.dtype, name='bn_sc')(
                 shortcut, use_running_average=not train)
         return relu(y + shortcut)
@@ -69,16 +88,18 @@ class ResNetCifar(nn.Module):
     nb_blocks: int  # n = (size - 2) / 6
     nb_classes: int = 10
     dtype: object = jnp.bfloat16
+    width_map: Optional[Dict[str, int]] = None  # shrunk-serving overrides
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = PFConv(16, (3, 3), use_bias=False, dtype=self.dtype, name='conv_init')(x)
+        x = PFConv(_w(self, 'conv_init', 16), (3, 3), use_bias=False,
+                   dtype=self.dtype, name='conv_init')(x)
         x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
         x = relu(x)
         for stage, width in enumerate((16, 32, 64)):
             for block in range(self.nb_blocks):
                 strides = (2, 2) if (stage > 0 and block == 0) else (1, 1)
-                x = BasicBlock(width, strides, self.dtype,
+                x = BasicBlock(width, strides, self.dtype, self.width_map,
                                name='stage%d_block%d' % (stage + 1, block))(x, train)
         x = global_avg_pool(x)
         x = PFDense(self.nb_classes, dtype=self.dtype, name='fc')(x)
@@ -117,17 +138,18 @@ class ResNetImageNet(nn.Module):
     nb_classes: int = 1001
     dtype: object = jnp.bfloat16
     stem_space_to_depth: bool = False
+    width_map: Optional[Dict[str, int]] = None  # shrunk-serving overrides
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         block_cls, stage_sizes = IMAGENET_CONFIGS[self.resnet_size]
         if self.stem_space_to_depth:
             x = space_to_depth(x.astype(self.dtype), 2)
-            x = PFConv(64, (4, 4), (1, 1), use_bias=False, dtype=self.dtype,
-                       name='conv_init')(x)
+            x = PFConv(_w(self, 'conv_init', 64), (4, 4), (1, 1),
+                       use_bias=False, dtype=self.dtype, name='conv_init')(x)
         else:
-            x = PFConv(64, (7, 7), (2, 2), use_bias=False, dtype=self.dtype,
-                       name='conv_init')(x)
+            x = PFConv(_w(self, 'conv_init', 64), (7, 7), (2, 2),
+                       use_bias=False, dtype=self.dtype, name='conv_init')(x)
         x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
         x = relu(x)
         x = max_pool(x, (3, 3), (2, 2), padding='SAME')
@@ -135,7 +157,7 @@ class ResNetImageNet(nn.Module):
             width = 64 * (2 ** stage)
             for block in range(nb_blocks):
                 strides = (2, 2) if (stage > 0 and block == 0) else (1, 1)
-                x = block_cls(width, strides, self.dtype,
+                x = block_cls(width, strides, self.dtype, self.width_map,
                               name='stage%d_block%d' % (stage + 1, block))(x, train)
         x = global_avg_pool(x)
         x = PFDense(self.nb_classes, dtype=self.dtype, name='fc')(x)

@@ -605,3 +605,46 @@ def expand_to_dense(packed: Dict[str, Any], manifest: Dict[str, Any],
         dense[np.ix_(*idx)] = sub
         set_leaf(tree, rel, dense)
     return params, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# shrunk-serving construction (the reference export's "alt routines",
+# export_chn_pruned_tflite_model.py:223-277: rebuild the graph with SMALLER
+# convs and run it)
+# ---------------------------------------------------------------------------
+
+def width_map_from_packed(packed: Dict[str, Any]) -> Dict[str, int]:
+    """Per-module output-channel counts of a shrunk packed tree.
+
+    Feed this as the zoo models' ``width_map`` to construct the physically
+    smaller serving network (depthwise kernels are skipped — their width
+    follows the input automatically).
+    """
+    wm = {}
+    for pstr, arr in packed.items():
+        if pstr.startswith('batch_stats/') or not pstr.endswith('/kernel'):
+            continue
+        arr = np.asarray(arr)
+        if arr.ndim == 4 and arr.shape[2] != 1:
+            wm[pstr[:-len('/kernel')]] = int(arr.shape[-1])
+    return wm
+
+
+def variables_from_packed(packed: Dict[str, Any]) -> Dict[str, Any]:
+    """Nest a packed path->array dict back into {'params', 'batch_stats'}."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def insert(tree, pstr, value):
+        parts = pstr.split('/')
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = np.asarray(value)
+
+    for pstr, arr in packed.items():
+        if pstr.startswith('batch_stats/'):
+            insert(stats, pstr[len('batch_stats/'):], arr)
+        else:
+            insert(params, pstr, arr)
+    return {'params': params, 'batch_stats': stats}

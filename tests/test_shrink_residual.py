@@ -167,3 +167,39 @@ def test_export_cli_residual_mode(tmp_path):
     audit = manifest['flops_audit']
     assert audit['reduction'] > 0.1  # 3 of 16 trunk channels gone everywhere
     assert manifest['components']
+
+
+def test_shrunk_model_serves_with_smaller_convs():
+    """The reference export rebuilds the graph with SMALLER convs ('alt
+    routines'); here the zoo model takes a width_map and serves the shrunk
+    checkpoint with identical logits."""
+    from pocketflow_tpu.tools import shrink_graph as sg
+    from pocketflow_tpu.nets.resnet import ResNetCifar
+    model, variables, x = _build_resnet20()
+    params = jax.device_get(variables['params'])
+    batch_stats = jax.device_get(variables['batch_stats'])
+    params = _zero_in_channels(params, [0, 1, 2, 3])
+    images = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    ref = model.apply({'params': params, 'batch_stats': batch_stats},
+                      images, train=False)
+
+    graph = sg.capture_conv_graph(model, {'params': params,
+                                          'batch_stats': batch_stats}, x.shape)
+    packed, manifest = sg.shrink_residual_aware(params, batch_stats, graph)
+    wm = sg.width_map_from_packed(packed)
+    assert wm['stage1_block0/conv1'] == 12  # 16 - 4 physically gone
+
+    small = ResNetCifar(nb_blocks=3, nb_classes=10, dtype=jnp.float32,
+                        width_map=wm)
+    small_vars = sg.variables_from_packed(packed)
+    out = small.apply(small_vars, images, train=False)
+    # identical logits from the physically smaller network (dead channels
+    # contributed exactly zero in the dense model)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
+    # and it really is smaller
+    nb_small = sum(int(np.prod(np.shape(l)))
+                   for l in jax.tree_util.tree_leaves(small_vars['params']))
+    nb_orig = sum(int(np.prod(np.shape(l)))
+                  for l in jax.tree_util.tree_leaves(params))
+    assert nb_small < nb_orig
