@@ -14,13 +14,14 @@ these substrings (reference pr_optimizer.py:292-296 matches
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from pocketflow_tpu.nn import BatchNorm, PFConv, PFDepthwiseConv, global_avg_pool
 from pocketflow_tpu.nn.layers import PFDense, relu6
+from pocketflow_tpu.nets.resnet import _w
 
 
 def _depth(channels: int, multiplier: float, divisor: int = 8, min_depth: int = 8) -> int:
@@ -37,13 +38,15 @@ class SeparableBlock(nn.Module):
     features: int
     strides: Tuple[int, int] = (1, 1)
     dtype: object = jnp.bfloat16
+    width_map: Optional[Dict[str, int]] = None  # shrunk-serving overrides
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = PFDepthwiseConv((3, 3), self.strides, dtype=self.dtype, name='dw')(x)
         x = BatchNorm(dtype=self.dtype, name='bn_dw')(x, use_running_average=not train)
         x = relu6(x)
-        x = PFConv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name='pw')(x)
+        x = PFConv(_w(self, 'pw', self.features), (1, 1), use_bias=False,
+                   dtype=self.dtype, name='pw')(x)
         x = BatchNorm(dtype=self.dtype, name='bn_pw')(x, use_running_average=not train)
         return relu6(x)
 
@@ -58,16 +61,18 @@ class MobileNetV1(nn.Module):
     nb_classes: int = 1001
     depth_mult: float = 1.0
     dtype: object = jnp.bfloat16
+    width_map: Optional[Dict[str, int]] = None  # shrunk-serving overrides
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         d = lambda c: _depth(c, self.depth_mult)
-        x = PFConv(d(32), (3, 3), (2, 2), use_bias=False, dtype=self.dtype,
-                   name='conv_init')(x)
+        x = PFConv(_w(self, 'conv_init', d(32)), (3, 3), (2, 2),
+                   use_bias=False, dtype=self.dtype, name='conv_init')(x)
         x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
         x = relu6(x)
         for idx, (features, stride) in enumerate(V1_BLOCKS):
             x = SeparableBlock(d(features), (stride, stride), self.dtype,
+                               self.width_map,
                                name='block%02d' % (idx + 1))(x, train)
         x = global_avg_pool(x)
         # slim uses a 1x1 conv classifier ('Conv2d_1c_1x1'); a dense layer on
@@ -82,20 +87,23 @@ class InvertedResidual(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     expand_ratio: int = 6
     dtype: object = jnp.bfloat16
+    width_map: Optional[Dict[str, int]] = None  # shrunk-serving overrides
 
     @nn.compact
     def __call__(self, x, train: bool):
         in_features = x.shape[-1]
         y = x
         if self.expand_ratio != 1:
-            y = PFConv(in_features * self.expand_ratio, (1, 1), use_bias=False,
+            y = PFConv(_w(self, 'pw_expand', in_features * self.expand_ratio),
+                       (1, 1), use_bias=False,
                        dtype=self.dtype, name='pw_expand')(y)
             y = BatchNorm(dtype=self.dtype, name='bn_expand')(y, use_running_average=not train)
             y = relu6(y)
         y = PFDepthwiseConv((3, 3), self.strides, dtype=self.dtype, name='dw')(y)
         y = BatchNorm(dtype=self.dtype, name='bn_dw')(y, use_running_average=not train)
         y = relu6(y)
-        y = PFConv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+        y = PFConv(_w(self, 'pw_project', self.features), (1, 1),
+                   use_bias=False, dtype=self.dtype,
                    name='pw_project')(y)  # linear bottleneck: no activation
         y = BatchNorm(dtype=self.dtype, name='bn_project')(y, use_running_average=not train)
         if self.strides == (1, 1) and in_features == self.features:
@@ -112,12 +120,13 @@ class MobileNetV2(nn.Module):
     nb_classes: int = 1001
     depth_mult: float = 1.0
     dtype: object = jnp.bfloat16
+    width_map: Optional[Dict[str, int]] = None  # shrunk-serving overrides
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         d = lambda c: _depth(c, self.depth_mult)
-        x = PFConv(d(32), (3, 3), (2, 2), use_bias=False, dtype=self.dtype,
-                   name='conv_init')(x)
+        x = PFConv(_w(self, 'conv_init', d(32)), (3, 3), (2, 2),
+                   use_bias=False, dtype=self.dtype, name='conv_init')(x)
         x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
         x = relu6(x)
         idx = 0
@@ -125,11 +134,13 @@ class MobileNetV2(nn.Module):
             for rep in range(repeats):
                 stride = first_stride if rep == 0 else 1
                 x = InvertedResidual(d(features), (stride, stride), expand,
-                                     self.dtype, name='block%02d' % idx)(x, train)
+                                     self.dtype, self.width_map,
+                                     name='block%02d' % idx)(x, train)
                 idx += 1
         # head conv: 1280 (not scaled down below 1280 for mult <= 1)
         head = _depth(1280, max(1.0, self.depth_mult))
-        x = PFConv(head, (1, 1), use_bias=False, dtype=self.dtype, name='pw_head')(x)
+        x = PFConv(_w(self, 'pw_head', head), (1, 1), use_bias=False,
+                   dtype=self.dtype, name='pw_head')(x)
         x = BatchNorm(dtype=self.dtype, name='bn_head')(x, use_running_average=not train)
         x = relu6(x)
         x = global_avg_pool(x)

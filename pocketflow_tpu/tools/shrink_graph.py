@@ -456,10 +456,16 @@ def shrink_residual_aware(params, batch_stats, graph: ConvGraph
                 if key not in seen:
                     seen.add(key)
                     sites.append(s)
-        # intersection of dead sets over ALL consumer sites of the component
+        # Intersection of dead sets over the REAL consumer sites (fgc=1
+        # convs / dense).  Depthwise sites are transparent pass-throughs:
+        # channel liveness is decided by their downstream readers (whose
+        # sites carry the same producers via provenance), and the dw kernel
+        # is merely SLICED along with the component.
         dead = None
         ok = True
         for s in sites:
+            if s.depthwise:
+                continue
             d = dead_channels(s)
             if d is None:
                 ok = False

@@ -22,11 +22,11 @@ def _zero_in_channels(params, channels, skip_in_dims=(3,)):
             if isinstance(child, dict):
                 if 'kernel' in child:
                     k = np.array(child['kernel'])
-                    if k.ndim == 4 and k.shape[2] not in skip_in_dims:
+                    if k.ndim == 4 and k.shape[2] == 1:  # depthwise
+                        pass
+                    elif k.ndim == 4 and k.shape[2] not in skip_in_dims:
                         k[:, :, channels, :] = 0.0
                         child['kernel'] = k
-                    elif k.ndim == 4 and k.shape[2] == 1:  # depthwise
-                        pass
                     elif k.ndim == 2:
                         k[list(channels), :] = 0.0
                         child['kernel'] = k
@@ -203,3 +203,34 @@ def test_shrunk_model_serves_with_smaller_convs():
     nb_orig = sum(int(np.prod(np.shape(l)))
                   for l in jax.tree_util.tree_leaves(params))
     assert nb_small < nb_orig
+
+
+def test_mobilenet_width_mapped_serving():
+    """MobileNet-v1 (the reference's channel-pruning model family) serves the
+    shrunk checkpoint through width_map with identical logits."""
+    from pocketflow_tpu.tools import shrink_graph as sg
+    from pocketflow_tpu.nets.mobilenet import MobileNetV1
+    with FLAGS.scope(batch_size=2):
+        model = MobileNetV1(nb_classes=10, dtype=jnp.float32)
+        x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = jax.device_get(variables['params'])
+    batch_stats = jax.device_get(variables['batch_stats'])
+    params = _zero_in_channels(params, [0, 1])
+    images = jax.random.normal(jax.random.PRNGKey(4), x.shape)
+    ref = model.apply({'params': params, 'batch_stats': batch_stats},
+                      images, train=False)
+
+    graph = sg.capture_conv_graph(model, {'params': params,
+                                          'batch_stats': batch_stats}, x.shape)
+    packed, manifest = sg.shrink_residual_aware(params, batch_stats, graph)
+    wm = sg.width_map_from_packed(packed)
+    small = MobileNetV1(nb_classes=10, dtype=jnp.float32, width_map=wm)
+    small_vars = sg.variables_from_packed(packed)
+    out = small.apply(small_vars, images, train=False)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
+    # depthwise channel counts follow their producer automatically
+    dw_k = small_vars['params']['block02']['dw']['kernel']
+    pw_prev = small_vars['params']['block01']['pw']['kernel']
+    assert dw_k.shape[3] == pw_prev.shape[3]
