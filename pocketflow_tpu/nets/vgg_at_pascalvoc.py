@@ -141,8 +141,15 @@ class ModelHelper(AbstractModelHelper):
                 self._detections, self._groundtruth, self.nb_classes)
         raise ValueError('unrecognized dump_n_eval action: ' + action)
 
-    def evaluate_map(self, model, state, dataset, nb_batches: int = 8):
-        """Full detection eval loop -> VOC mAP (learner-callable)."""
+    def evaluate_map(self, model, state, dataset, nb_batches=None):
+        """Full detection eval loop -> VOC mAP (learner-callable).
+
+        Defaults to the FULL eval set (reference scores all 4,952 VOC test
+        images, vgg_at_pascalvoc.py:554-583); pass nb_batches for smoke runs.
+        """
+        if nb_batches is None:
+            nb_batches = max(1, -(-dataset.spec.nb_smpls_eval
+                                  // dataset.batch_size))
         self.dump_n_eval(action='init')
         iterator = dataset.build()
         fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))

@@ -234,3 +234,33 @@ def test_mobilenet_width_mapped_serving():
     dw_k = small_vars['params']['block02']['dw']['kernel']
     pw_prev = small_vars['params']['block01']['pw']['kernel']
     assert dw_k.shape[3] == pw_prev.shape[3]
+
+
+def test_int8_serving_composes_with_shrunk_model():
+    """Compression policies (int8 PTQ) apply unchanged to width-mapped
+    shrunk models — the deployment stack composes."""
+    from pocketflow_tpu.tools import shrink_graph as sg
+    from pocketflow_tpu.nets.resnet import ResNetCifar
+    from pocketflow_tpu.ops import int8_ops
+    from pocketflow_tpu.nn.layers import compression
+    model, variables, x = _build_resnet20()
+    params = jax.device_get(variables['params'])
+    batch_stats = jax.device_get(variables['batch_stats'])
+    params = _zero_in_channels(params, [0, 1])
+    images = jax.random.normal(jax.random.PRNGKey(5), x.shape) * 0.5
+
+    graph = sg.capture_conv_graph(model, {'params': params,
+                                          'batch_stats': batch_stats}, x.shape)
+    packed, _ = sg.shrink_residual_aware(params, batch_stats, graph)
+    small = ResNetCifar(nb_blocks=3, nb_classes=10, dtype=jnp.float32,
+                        width_map=sg.width_map_from_packed(packed))
+    small_vars = sg.variables_from_packed(packed)
+    ref = np.asarray(small.apply(small_vars, images, train=False))
+
+    act_scales = int8_ops.calibrate(small, small_vars, [images])
+    weight_q = int8_ops.quantize_model_weights(small_vars['params'])
+    policy = int8_ops.Int8ServingPolicy(weight_q, act_scales)
+    with compression(policy):
+        out = np.asarray(small.apply(small_vars, images, train=False))
+    rel = np.abs(out - ref) / (np.abs(ref).max() + 1e-6)
+    assert rel.max() < 0.15, rel.max()
