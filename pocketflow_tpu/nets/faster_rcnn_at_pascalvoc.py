@@ -115,9 +115,10 @@ class FasterRCNN(nn.Module):
     def __call__(self, images, labels=None, train: bool = True):
         b = images.shape[0]
         levels = self.backbone(images, train)
-        obj_list, delta_list, anchor_list = [], [], []
+        obj_list, delta_list, anchor_list, lat_feats = [], [], [], []
         for lvl, (feats, scales) in enumerate(zip(levels, RPN_LEVEL_SCALES)):
             feats = self.laterals[lvl](feats)
+            lat_feats.append(feats)               # FPN features (common width)
             rpn = relu(self.rpn_conv(feats))       # shared RPN head
             obj_list.append(self.rpn_obj(rpn).reshape(b, -1).astype(jnp.float32))
             delta_list.append(self.rpn_box(rpn).reshape(b, -1, 4).astype(jnp.float32))
@@ -132,9 +133,20 @@ class FasterRCNN(nn.Module):
                    if labels is not None else nb_props)
         fg_fraction = FLAGS.frcnn_fg_fraction
         roi_size = FLAGS.frcnn_roi_size
-        pool_feats = levels[0]   # ROI-align on the finest level
 
-        def per_image(obj, deltas, feat, lab):
+        def pool_rois(feat_pair, boxes):
+            """FPN-style level assignment: small ROIs pool from the stride-8
+            level, large ROIs from stride-16 (threshold between the two
+            levels' anchor scale ranges)."""
+            f8, f16 = feat_pair
+            scale = jnp.sqrt(jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0)
+                             * jnp.maximum(boxes[:, 3] - boxes[:, 1], 0.0))
+            use_coarse = (scale >= 0.45)[:, None, None, None]
+            r8 = frcnn.roi_align(f8.astype(jnp.float32), boxes, roi_size)
+            r16 = frcnn.roi_align(f16.astype(jnp.float32), boxes, roi_size)
+            return jnp.where(use_coarse, r16, r8)
+
+        def per_image(obj, deltas, f8, f16, lab):
             props, valid = frcnn.propose(
                 jax.nn.sigmoid(obj), deltas, anchors,
                 FLAGS.frcnn_nb_pre_nms, nb_props,
@@ -152,19 +164,18 @@ class FasterRCNN(nn.Module):
             else:
                 cls_t = box_t = fg = vmask = None
                 rois_boxes = props
-            rois = frcnn.roi_align(feat.astype(jnp.float32), rois_boxes,
-                                   roi_size)
+            rois = pool_rois((f8, f16), rois_boxes)
             return props, valid, rois, rois_boxes, cls_t, box_t, fg, vmask
 
         if labels is not None:
             labels_f = labels.astype(jnp.float32)
             props, valid, rois, rois_boxes, cls_t, box_t, fg, vmask = \
                 jax.vmap(per_image)(obj_logits, rpn_deltas,
-                                    pool_feats, labels_f)
+                                    lat_feats[0], lat_feats[1], labels_f)
         else:
             props, valid, rois, rois_boxes, _, _, _, _ = jax.vmap(
-                lambda o, d, f: per_image(o, d, f, None))(
-                    obj_logits, rpn_deltas, pool_feats)
+                lambda o, d, f8, f16: per_image(o, d, f8, f16, None))(
+                    obj_logits, rpn_deltas, lat_feats[0], lat_feats[1])
             cls_t = box_t = fg = vmask = None
 
         x = rois.reshape(b * nb_rois, -1).astype(self.dtype)
