@@ -36,6 +36,14 @@ def main(argv=None):
                         "skip connections) | 'quant'")
     FLAGS.DEFINE_string('output_path', './export/model', 'output artifact path')
     FLAGS.DEFINE_string('export_model', 'convnet_at_fmnist', 'model helper name')
+    FLAGS.DEFINE_string('tflite_mode', 'none',
+                        "also write a .tflite artifact: 'none' | 'float' | "
+                        "'dynamic' (int8 weights) | 'int8' (full integer, "
+                        "calibrated on the sample batch)")
+    FLAGS.DEFINE_boolean('tflite_latency', False,
+                         'measure TFLite interpreter latency after export '
+                         '(100 warmup + 100 timed, reference '
+                         'calc_inference_time.py protocol)')
     leftovers = FLAGS.parse_args(argv)
     del leftovers
     log = get_logger()
@@ -122,6 +130,15 @@ def main(argv=None):
     export_lib.export_stablehlo(model, variables, sample,
                                 FLAGS.output_path + '.stablehlo')
     export_lib.numeric_self_check(model, variables, variables, sample)
+    if FLAGS.tflite_mode != 'none':
+        from pocketflow_tpu.tools import export_tflite as tflite_lib
+        quantize = {'float': 'none'}.get(FLAGS.tflite_mode, FLAGS.tflite_mode)
+        tfl_path = tflite_lib.export_tflite(
+            model, variables, sample, FLAGS.output_path,
+            quantize=quantize, input_uint8=(quantize == 'int8'))
+        if FLAGS.tflite_latency:
+            with open(tfl_path, 'rb') as fin:
+                tflite_lib.measure_latency(fin.read())
     log.info('export written to %s', out)
     return out
 

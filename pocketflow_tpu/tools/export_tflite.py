@@ -1,0 +1,199 @@
+"""TFLite export: the reference's mobile-deployment path, rebuilt on jax2tf.
+
+Reference: /root/reference/tools/conversion/export_pb_tflite_models.py:17-392
+(ckpt -> frozen .pb -> toco -> .tflite), export_quant_tflite_model.py:1-284
+(post-training quantization with QUANTIZED_UINT8 input stats), and
+tools/benchmark/calc_inference_time.py:26-78 (100 warmup + 100 timed runs).
+
+TPU-native rebuild: the eval forward — a pure jax function closing over the
+final variables, the analogue of `convert_variables_to_constants` — is lowered
+through jax2tf graph serialization to plain TF ops, converted by
+`tf.lite.TFLiteConverter` to TFLite builtins, optionally
+post-training-quantized (dynamic-range, or full int8 with a representative
+dataset replacing toco's input-stats path), numerically self-checked against
+the live jax model (the reference's pb-vs-tflite output-equality test,
+export_chn_pruned_tflite_model.py:110-168), and latency-benchmarked with the
+TFLite interpreter.
+
+TensorFlow is only needed here — the rest of the framework never imports it.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from pocketflow_tpu.core.metrics import get_logger
+
+log = get_logger()
+
+QUANT_MODES = ('none', 'dynamic', 'int8')
+
+
+def _tf():
+    try:
+        import tensorflow as tf  # local import: TF is optional at runtime
+    except ImportError as exc:  # pragma: no cover - env without TF
+        raise RuntimeError(
+            'TFLite export needs the optional tensorflow dependency '
+            '(used only for the converter/interpreter)') from exc
+    return tf
+
+
+def _frozen_forward(model, variables):
+    """The eval forward with variables closed over as constants — the jax
+    analogue of the reference's frozen GraphDef (export_pb_tflite_models.py
+    convert_variables_to_constants step)."""
+    host_vars = jax.device_get(variables)
+
+    def forward(images):
+        return model.apply(host_vars, images, train=False)
+
+    return forward
+
+
+def convert_to_tflite(model, variables, sample_images,
+                      quantize: str = 'none',
+                      representative_fn: Optional[Callable] = None,
+                      input_uint8: bool = False) -> bytes:
+    """Convert the model's eval forward to a TFLite flatbuffer.
+
+    quantize: 'none' (fp32 builtins), 'dynamic' (int8 weights, fp32 compute
+    at op granularity — the cheap PTQ), or 'int8' (full integer quantization
+    calibrated on `representative_fn`, the rebuild of the reference's
+    QUANTIZED_UINT8 export, export_quant_tflite_model.py).
+    input_uint8 puts a uint8 quantize stub at the input (phone-camera path).
+    """
+    if quantize not in QUANT_MODES:
+        raise ValueError('quantize must be one of %s' % (QUANT_MODES,))
+    tf = _tf()
+    from jax.experimental import jax2tf
+
+    sample = np.asarray(jax.device_get(sample_images), np.float32)
+    forward = _frozen_forward(model, variables)
+    out_sd = jax.eval_shape(forward, jax.ShapeDtypeStruct(sample.shape,
+                                                          np.float32))
+    if any(l.dtype == jax.numpy.bfloat16
+           for l in jax.tree_util.tree_leaves(out_sd)):
+        raise ValueError(
+            'model computes in bfloat16, which TFLite builtins cannot '
+            'legalize — rebuild the helper under compute_dtype=float32 '
+            'for serving export')
+    tf_fn = tf.function(
+        jax2tf.convert(forward, native_serialization=False,
+                       with_gradient=False),
+        input_signature=[tf.TensorSpec(sample.shape, tf.float32)],
+        autograph=False)
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [tf_fn.get_concrete_function()], tf_fn)
+
+    if quantize == 'dynamic':
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+    elif quantize == 'int8':
+        if representative_fn is None:
+            def representative_fn():
+                for _ in range(8):
+                    yield [sample]
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.representative_dataset = representative_fn
+        converter.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+        if input_uint8:
+            converter.inference_input_type = tf.uint8
+        converter.inference_output_type = tf.float32
+
+    blob = converter.convert()
+    log.info('tflite convert (%s): %d bytes', quantize, len(blob))
+    return blob
+
+
+def run_tflite(blob: bytes, images) -> np.ndarray:
+    """Run a TFLite flatbuffer on a batch (handles uint8-quantized inputs)."""
+    tf = _tf()
+    interp = tf.lite.Interpreter(model_content=blob)
+    interp.allocate_tensors()
+    idet = interp.get_input_details()[0]
+    odet = interp.get_output_details()[0]
+    images = np.asarray(images, np.float32)
+    if idet['dtype'] == np.uint8:
+        scale, zero = idet['quantization']
+        images = np.clip(np.round(images / scale + zero), 0, 255) \
+            .astype(np.uint8)
+    interp.set_tensor(idet['index'], images)
+    interp.invoke()
+    out = interp.get_tensor(odet['index'])
+    if odet['dtype'] == np.uint8:
+        scale, zero = odet['quantization']
+        out = (out.astype(np.float32) - zero) * scale
+    return out
+
+
+def self_check(blob: bytes, model, variables, sample_images) -> float:
+    """Max |logits delta| between the TFLite artifact and the live jax model
+    (reference export_chn_pruned_tflite_model.py:110-168)."""
+    forward = _frozen_forward(model, variables)
+    ref = np.asarray(jax.device_get(forward(sample_images)))
+    got = run_tflite(blob, sample_images)
+    delta = float(np.max(np.abs(ref - got)))
+    log.info('tflite self-check: max |logits delta| = %.3e', delta)
+    return delta
+
+
+def measure_latency(blob: bytes, nb_warmup: int = 100, nb_timed: int = 100,
+                    nb_threads: int = 1) -> Dict[str, float]:
+    """Interpreter latency, reference protocol: nb_warmup untimed then
+    nb_timed timed invocations (calc_inference_time.py:35-78)."""
+    tf = _tf()
+    interp = tf.lite.Interpreter(model_content=blob, num_threads=nb_threads)
+    interp.allocate_tensors()
+    idet = interp.get_input_details()[0]
+    rng = np.random.default_rng(0)
+    if idet['dtype'] == np.uint8:
+        images = rng.integers(0, 256, idet['shape'], np.uint8)
+    else:
+        images = rng.standard_normal(idet['shape']).astype(np.float32)
+    interp.set_tensor(idet['index'], images)
+    for _ in range(nb_warmup):
+        interp.invoke()
+    times = []
+    for _ in range(nb_timed):
+        start = time.perf_counter()
+        interp.invoke()
+        times.append((time.perf_counter() - start) * 1e3)
+    times = np.asarray(times)
+    result = {'mean_ms': float(times.mean()), 'std_ms': float(times.std()),
+              'p50_ms': float(np.percentile(times, 50))}
+    log.info('tflite latency: %.2f +- %.2f ms', result['mean_ms'],
+             result['std_ms'])
+    return result
+
+
+def export_tflite(model, variables, sample_images, out_path: str,
+                  quantize: str = 'none',
+                  representative_fn: Optional[Callable] = None,
+                  input_uint8: bool = False,
+                  check_atol: Optional[float] = 1e-2) -> str:
+    """Convert, self-check, and write `<out_path>` (.tflite appended if
+    missing).  For quantized artifacts the numeric check is informational
+    (quantization error is expected); for fp32 it must pass `check_atol`."""
+    blob = convert_to_tflite(model, variables, sample_images,
+                             quantize=quantize,
+                             representative_fn=representative_fn,
+                             input_uint8=input_uint8)
+    delta = self_check(blob, model, variables, sample_images)
+    if quantize == 'none' and check_atol is not None and delta > check_atol:
+        raise AssertionError(
+            'tflite export diverged from the jax model: max delta %.3e '
+            '(atol %.1e)' % (delta, check_atol))
+    if not out_path.endswith('.tflite'):
+        out_path += '.tflite'
+    os.makedirs(os.path.dirname(out_path) or '.', exist_ok=True)
+    with open(out_path, 'wb') as fout:
+        fout.write(blob)
+    log.info('tflite artifact written to %s (%d bytes, quantize=%s)',
+             out_path, len(blob), quantize)
+    return out_path
