@@ -26,7 +26,14 @@ import numpy as np
 
 def _load_image(path: str, resize: int) -> np.ndarray:
     from PIL import Image
-    img = Image.open(path).convert('RGB')
+    return process_pil_image(Image.open(path), resize)
+
+
+def process_pil_image(img, resize: int) -> np.ndarray:
+    """Short-side resize + square center crop -> uint8 HWC (shared with the
+    TFRecord migration converter, tools/convert_tfrecord.py)."""
+    from PIL import Image
+    img = img.convert('RGB')
     w, h = img.size
     scale = resize / min(w, h)
     img = img.resize((max(resize, int(round(w * scale))),
