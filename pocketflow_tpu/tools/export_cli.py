@@ -40,6 +40,9 @@ def main(argv=None):
                         "also write a .tflite artifact: 'none' | 'float' | "
                         "'dynamic' (int8 weights) | 'int8' (full integer, "
                         "calibrated on the sample batch)")
+    FLAGS.DEFINE_boolean('export_saved_model', False,
+                         "also write a TF SavedModel at '<output>_saved' "
+                         "(the reference's frozen-.pb serving artifact)")
     FLAGS.DEFINE_boolean('tflite_latency', False,
                          'measure TFLite interpreter latency after export '
                          '(100 warmup + 100 timed, reference '
@@ -130,6 +133,10 @@ def main(argv=None):
     export_lib.export_stablehlo(model, variables, sample,
                                 FLAGS.output_path + '.stablehlo')
     export_lib.numeric_self_check(model, variables, variables, sample)
+    if FLAGS.export_saved_model:
+        from pocketflow_tpu.tools import export_tflite as tflite_lib
+        tflite_lib.export_saved_model(model, variables, sample,
+                                      FLAGS.output_path + '_saved')
     if FLAGS.tflite_mode != 'none':
         from pocketflow_tpu.tools import export_tflite as tflite_lib
         quantize = {'float': 'none'}.get(FLAGS.tflite_mode, FLAGS.tflite_mode)

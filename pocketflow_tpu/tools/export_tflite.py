@@ -111,6 +111,44 @@ def convert_to_tflite(model, variables, sample_images,
     return blob
 
 
+def export_saved_model(model, variables, sample_images, out_dir: str) -> str:
+    """Write a TF SavedModel of the eval forward — today's form of the
+    reference's frozen .pb serving artifact (export_pb_tflite_models.py's
+    convert_variables_to_constants + write_graph step).  The signature takes
+    'images' and returns 'logits', mirroring the reference's
+    images_final/logits_final collections."""
+    tf = _tf()
+    from jax.experimental import jax2tf
+
+    sample = np.asarray(jax.device_get(sample_images), np.float32)
+    forward = _frozen_forward(model, variables)
+    module = tf.Module()
+    module.serve = tf.function(
+        # multi-platform lowering: the artifact must serve on hosts other
+        # than the platform that exported it
+        jax2tf.convert(forward, with_gradient=False,
+                       native_serialization_platforms=('cpu', 'tpu')),
+        input_signature=[tf.TensorSpec(sample.shape, tf.float32,
+                                       name='images')],
+        autograph=False)
+    os.makedirs(out_dir, exist_ok=True)
+    tf.saved_model.save(module, out_dir,
+                        signatures={'serving_default': module.serve})
+    restored = tf.saved_model.load(out_dir)
+    got = np.asarray(restored.serve(tf.constant(sample)))
+    ref = np.asarray(jax.device_get(forward(sample)))
+    delta = float(np.max(np.abs(got - ref)))
+    log.info('saved_model self-check: max |logits delta| = %.3e', delta)
+    # scale-aware: the reference logits may come from a TPU backend whose
+    # matmul precision differs from the serving host's fp32
+    tol = max(1e-3, 2e-3 * float(np.max(np.abs(ref))))
+    if delta > tol:
+        raise AssertionError('SavedModel diverged from the jax model '
+                             '(max delta %.3e, tol %.3e)' % (delta, tol))
+    log.info('SavedModel written to %s', out_dir)
+    return out_dir
+
+
 def run_tflite(blob: bytes, images) -> np.ndarray:
     """Run a TFLite flatbuffer on a batch (handles uint8-quantized inputs)."""
     tf = _tf()

@@ -67,6 +67,18 @@ def test_tflite_full_int8_uint8_input(small_model):
     assert np.all(np.isfinite(got))
 
 
+def test_saved_model_export(small_model, tmp_path):
+    import tensorflow as tf
+    from pocketflow_tpu.tools import export_tflite as tfl
+    model, variables, images = small_model
+    out = tfl.export_saved_model(model, variables, images,
+                                 str(tmp_path / 'saved'))
+    restored = tf.saved_model.load(out)
+    got = np.asarray(restored.serve(tf.constant(images)))
+    ref = np.asarray(model.apply(variables, images, train=False))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 def test_tflite_latency_protocol(small_model):
     from pocketflow_tpu.tools import export_tflite as tfl
     model, variables, images = small_model
