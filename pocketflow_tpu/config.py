@@ -216,6 +216,11 @@ FLAGS.DEFINE_integer('bn_stats_subsample', 1,
                      '(ghost-BN; 1 = exact). The train step is HBM-bound and '
                      'the stats reductions re-read every conv output, so S>1 '
                      'removes (S-1)/S of that traffic')
+FLAGS.DEFINE_string('remat_blocks', 'none',
+                    "residual-block rematerialization in backward: 'none' | "
+                    "'save_convs' (store conv outputs only, recompute "
+                    "BN/ReLU) | 'full' (store block inputs only). Trades "
+                    "recompute for activation HBM traffic/footprint")
 FLAGS.DEFINE_string('mesh_shape', '', 'comma "axis:size" list, e.g. "data:8" (empty = all devices on data axis)')
 FLAGS.DEFINE_boolean('enbl_tensor_parallel', False,
                      "shard large kernels' last axis over the 'model' mesh axis")

@@ -399,12 +399,54 @@ class AbstractLearner(ABC):
         return state.replace(**fields), True
 
     def download_model(self):
-        """Reference downloads pretrained tarballs via wget (:105-125); the TPU
-        rebuild is offline — only verifies a local checkpoint exists."""
-        if ckpt_lib.latest_checkpoint(os.path.dirname(FLAGS.save_path) or '.') is None:
+        """Pretrained-model bootstrap (reference abstract_learner.py:105-125:
+        wget ``model_http_url`` + tar -x into the model dir).
+
+        If the save dir already holds a checkpoint this is a no-op; otherwise
+        the primary worker fetches the tarball at ``--model_http_url``
+        (http/https/file) and extracts it into the save dir (paths sanitized),
+        while the other processes wait at the barrier — replacing the
+        reference's rank-0 wget + MPI barrier."""
+        save_dir = os.path.dirname(FLAGS.save_path) or '.'
+        if ckpt_lib.latest_checkpoint(save_dir) is not None:
+            return
+        url = FLAGS.get('model_http_url')
+        if not url:
+            raise ValueError(
+                'local model files do not exist and <model_http_url> is not '
+                'set (reference abstract_learner.py:116-117)')
+        if self.is_primary_worker():
+            import tarfile
+            import tempfile
+            import urllib.request
+            os.makedirs(save_dir, exist_ok=True)
+            with tempfile.NamedTemporaryFile(suffix='.tar.gz') as tmp:
+                with urllib.request.urlopen(url) as resp:
+                    while True:
+                        chunk = resp.read(1 << 20)
+                        if not chunk:
+                            break
+                        tmp.write(chunk)
+                tmp.flush()
+                with tarfile.open(tmp.name) as tar:
+                    for member in tar.getmembers():
+                        # flatten + sanitize: extract plain files only, by
+                        # basename, never absolute/parent paths
+                        if not member.isfile():
+                            continue
+                        name = os.path.basename(member.name)
+                        if not name or name.startswith('..'):
+                            continue
+                        src = tar.extractfile(member)
+                        with open(os.path.join(save_dir, name), 'wb') as out:
+                            out.write(src.read())
+            self.log.info('pretrained model fetched from %s into %s',
+                          url, save_dir)
+        self.auto_barrier()
+        if ckpt_lib.latest_checkpoint(save_dir) is None:
             raise FileNotFoundError(
-                'no local pre-trained model under %s (offline build: train a '
-                'full-prec baseline first)' % os.path.dirname(FLAGS.save_path))
+                'no checkpoint found under %s after downloading %s'
+                % (save_dir, url))
 
     # ------------------------------------------------------------------
     # distributed helpers (reference :127-148)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -106,6 +107,29 @@ class ResNetCifar(nn.Module):
         return x.astype(jnp.float32)
 
 
+def maybe_remat(block_cls):
+    """Wrap a block class per ``--remat_blocks`` (none | save_convs | full).
+
+    'save_convs' stores only the named conv products for backward and
+    recomputes BN/ReLU chains from them (jax.checkpoint_policies
+    save_only_these_names('conv_out')); 'full' stores block inputs only.
+    Both trade recompute for activation HBM traffic — useful when the step
+    is bandwidth-bound or activation-memory-bound (jax.checkpoint is the
+    TPU-native form of gradient checkpointing; no reference counterpart).
+    """
+    from pocketflow_tpu.config import FLAGS
+    mode = FLAGS.get('remat_blocks') or 'none'
+    if mode == 'none':
+        return block_cls
+    policy = None
+    if mode == 'save_convs':
+        policy = jax.checkpoint_policies.save_only_these_names('conv_out')
+    elif mode != 'full':
+        raise ValueError('unknown remat_blocks mode %r' % mode)
+    # static_argnums indexes the __call__ args with self at 0: train is 2
+    return nn.remat(block_cls, policy=policy, static_argnums=(2,))
+
+
 # block-size table (reference resnet_at_ilsvrc12.py:36-58)
 IMAGENET_CONFIGS = {
     18: (BasicBlock, (2, 2, 2, 2)),
@@ -143,6 +167,7 @@ class ResNetImageNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         block_cls, stage_sizes = IMAGENET_CONFIGS[self.resnet_size]
+        block_cls = maybe_remat(block_cls)
         if self.stem_space_to_depth:
             x = space_to_depth(x.astype(self.dtype), 2)
             x = PFConv(_w(self, 'conv_init', 64), (4, 4), (1, 1),

@@ -33,6 +33,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 # ---------------------------------------------------------------------------
 # Compression policy context
@@ -181,6 +182,13 @@ class PFConv(nn.Module):
             y = policy.run_contraction(_path_of(self), x, kernel, conv_fn)
         if y is None:
             y = conv_fn(x.astype(self.dtype), kernel.astype(self.dtype))
+        # named for the 'save_convs' remat policy (--remat_blocks): under
+        # block remat only these conv products are stored for backward,
+        # BN/ReLU recompute from them.  Gated on the flag so the jaxpr stays
+        # primitive-clean for consumers like shrink_graph's capture trace.
+        from pocketflow_tpu.config import FLAGS
+        if (FLAGS.get('remat_blocks') or 'none') != 'none':
+            y = checkpoint_name(y, 'conv_out')
         if self.use_bias:
             bias = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(y.dtype)

@@ -133,15 +133,25 @@ def main(argv=None):
     export_lib.export_stablehlo(model, variables, sample,
                                 FLAGS.output_path + '.stablehlo')
     export_lib.numeric_self_check(model, variables, variables, sample)
+
+    # serving artifacts target the PHYSICALLY SHRUNK model when the
+    # residual-aware shrink ran (the reference's dedicated
+    # export_chn_pruned_tflite_model.py builds the smaller convs, :223-277)
+    serving_model, serving_vars = model, variables
+    if FLAGS.export_mode == 'chn-pruned-residual' and hasattr(model, 'width_map'):
+        from pocketflow_tpu.tools import shrink_graph as sg
+        serving_model = model.clone(width_map=sg.width_map_from_packed(packed))
+        serving_vars = sg.variables_from_packed(packed)
+        log.info('serving artifacts use the width-mapped shrunk model')
     if FLAGS.export_saved_model:
         from pocketflow_tpu.tools import export_tflite as tflite_lib
-        tflite_lib.export_saved_model(model, variables, sample,
+        tflite_lib.export_saved_model(serving_model, serving_vars, sample,
                                       FLAGS.output_path + '_saved')
     if FLAGS.tflite_mode != 'none':
         from pocketflow_tpu.tools import export_tflite as tflite_lib
         quantize = {'float': 'none'}.get(FLAGS.tflite_mode, FLAGS.tflite_mode)
         tfl_path = tflite_lib.export_tflite(
-            model, variables, sample, FLAGS.output_path,
+            serving_model, serving_vars, sample, FLAGS.output_path,
             quantize=quantize, input_uint8=(quantize == 'int8'))
         if FLAGS.tflite_latency:
             with open(tfl_path, 'rb') as fin:

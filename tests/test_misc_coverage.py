@@ -1,5 +1,6 @@
 """Chunked NUQ assignment parity, RL layerwise tune, compression x detection."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -120,3 +121,75 @@ def test_ghost_bn_training_holds_accuracy(tmp_path):
         assert np.isfinite(metrics['loss'])  # trains and evals without NaNs
         # deterministic tiny budget: just demand better-than-chance learning
         assert metrics['accuracy'] > 0.12
+
+
+def test_remat_blocks_gradients_bit_identical():
+    """--remat_blocks changes WHAT is stored for backward, never the math:
+    gradients must be bit-identical across none/save_convs/full."""
+    import jax
+    import jax.numpy as jnp
+    from pocketflow_tpu.nets.resnet import ResNetImageNet
+
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)),
+                    jnp.float32)
+
+    def grads(mode):
+        with FLAGS.scope(remat_blocks=mode):
+            model = ResNetImageNet(resnet_size=18, nb_classes=10,
+                                   dtype=jnp.float32)
+            variables = jax.jit(
+                lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+
+            def loss(p):
+                out, _ = model.apply(
+                    {'params': p, 'batch_stats': variables['batch_stats']},
+                    x, train=True, mutable=['batch_stats'])
+                return jnp.sum(out ** 2)
+
+            return jax.jit(jax.grad(loss))(variables['params'])
+
+    base = grads('none')
+    for mode in ('save_convs', 'full'):
+        got = grads(mode)
+        for a, b in zip(jax.tree_util.tree_leaves(base),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_download_model_fetches_and_extracts(tmp_path):
+    """download_model: wget+tar bootstrap (reference :105-125) via a file://
+    tarball; no-op when a checkpoint already exists; clear error without URL."""
+    import tarfile
+
+    from pocketflow_tpu.core import checkpoint as ckpt_lib
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+
+    # build a tarball holding a real checkpoint
+    src_dir = tmp_path / 'pretrained'
+    src_dir.mkdir()
+    ckpt_lib.save(str(src_dir / 'model.ckpt'), {'w': np.ones(3, np.float32)},
+                  step=7)
+    tar_path = tmp_path / 'models.tar.gz'
+    with tarfile.open(tar_path, 'w:gz') as tar:
+        for name in os.listdir(src_dir):
+            tar.add(str(src_dir / name), arcname='models/' + name)
+
+    save_dir = tmp_path / 'models_dl'
+    with FLAGS.scope(save_path=str(save_dir / 'model.ckpt'),
+                     model_http_url='file://' + str(tar_path),
+                     batch_size=4, nb_smpls_train=16, nb_smpls_eval=8):
+        learner = FullPrecLearner(None, ModelHelper())
+        learner.download_model()
+        assert ckpt_lib.latest_checkpoint(str(save_dir)) is not None
+        fields = ckpt_lib.restore_fields(str(save_dir / 'model.ckpt'),
+                                         {'w': np.zeros(3, np.float32)})
+        np.testing.assert_array_equal(fields['w'], np.ones(3))
+        learner.download_model()  # idempotent no-op now
+
+    with FLAGS.scope(save_path=str(tmp_path / 'empty' / 'model.ckpt'),
+                     model_http_url=None,
+                     batch_size=4, nb_smpls_train=16, nb_smpls_eval=8):
+        learner = FullPrecLearner(None, ModelHelper())
+        with pytest.raises(ValueError, match='model_http_url'):
+            learner.download_model()

@@ -169,6 +169,48 @@ def test_export_cli_residual_mode(tmp_path):
     assert manifest['components']
 
 
+def test_export_cli_residual_tflite_is_physically_smaller(tmp_path):
+    """chn-pruned-residual + --tflite_mode: the .tflite holds the SHRUNK
+    convs (reference export_chn_pruned_tflite_model.py:223-277), so the
+    flatbuffer is smaller than the dense export and logits still match."""
+    import os
+    pytest.importorskip('tensorflow')
+    from pocketflow_tpu.core import checkpoint as ckpt_lib
+    from pocketflow_tpu.nets.resnet_at_cifar10 import ModelHelper
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.tools import export_cli, export_tflite
+
+    with FLAGS.scope(batch_size=4, batch_size_eval=4, resnet_size=20,
+                     nb_smpls_train=64, nb_smpls_eval=32,
+                     compute_dtype='float32'):
+        learner = FullPrecLearner(None, ModelHelper())
+        state, _, _ = learner.init_state()
+        params = jax.device_get(state.params)
+        params = _zero_in_channels(params, [0, 1, 2, 3, 4, 5])
+        state = state.replace(params=params)
+        ckpt = str(tmp_path / 'models' / 'model.ckpt')
+        ckpt_lib.save(ckpt, state, 0)
+
+        common = ['--export_model=resnet_at_cifar10', '--resnet_size=20',
+                  '--synthetic_data', '--compute_dtype=float32',
+                  '--ckpt_path=%s' % ckpt]
+        export_cli.main(common + [
+            '--export_mode=plain', '--tflite_mode=float',
+            '--output_path=%s' % (tmp_path / 'exp' / 'dense')])
+        export_cli.main(common + [
+            '--export_mode=chn-pruned-residual', '--tflite_mode=float',
+            '--output_path=%s' % (tmp_path / 'exp' / 'shrunk')])
+        dense_blob = open(str(tmp_path / 'exp' / 'dense.tflite'), 'rb').read()
+        shrunk_blob = open(str(tmp_path / 'exp' / 'shrunk.tflite'), 'rb').read()
+        assert len(shrunk_blob) < 0.85 * len(dense_blob)
+        # logits parity dense vs shrunk artifact on a shared batch
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3)),
+                       np.float32)
+        a = export_tflite.run_tflite(dense_blob, x)
+        b = export_tflite.run_tflite(shrunk_blob, x)
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+
 def test_shrunk_model_serves_with_smaller_convs():
     """The reference export rebuilds the graph with SMALLER convs ('alt
     routines'); here the zoo model takes a width_map and serves the shrunk
