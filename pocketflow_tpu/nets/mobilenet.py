@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pocketflow_tpu.nn import BatchNorm, PFConv, PFDepthwiseConv, global_avg_pool
-from pocketflow_tpu.nn.layers import PFDense, relu6
+from pocketflow_tpu.nn.layers import PFDense, maybe_remat, relu6
 from pocketflow_tpu.nets.resnet import _w
 
 
@@ -70,10 +70,11 @@ class MobileNetV1(nn.Module):
                    use_bias=False, dtype=self.dtype, name='conv_init')(x)
         x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
         x = relu6(x)
+        block_cls = maybe_remat(SeparableBlock)
         for idx, (features, stride) in enumerate(V1_BLOCKS):
-            x = SeparableBlock(d(features), (stride, stride), self.dtype,
-                               self.width_map,
-                               name='block%02d' % (idx + 1))(x, train)
+            x = block_cls(d(features), (stride, stride), self.dtype,
+                          self.width_map,
+                          name='block%02d' % (idx + 1))(x, train)
         x = global_avg_pool(x)
         # slim uses a 1x1 conv classifier ('Conv2d_1c_1x1'); a dense layer on
         # the pooled vector is the same matmul
@@ -130,12 +131,13 @@ class MobileNetV2(nn.Module):
         x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
         x = relu6(x)
         idx = 0
+        block_cls = maybe_remat(InvertedResidual)
         for expand, features, repeats, first_stride in V2_BLOCKS:
             for rep in range(repeats):
                 stride = first_stride if rep == 0 else 1
-                x = InvertedResidual(d(features), (stride, stride), expand,
-                                     self.dtype, self.width_map,
-                                     name='block%02d' % idx)(x, train)
+                x = block_cls(d(features), (stride, stride), expand,
+                              self.dtype, self.width_map,
+                              name='block%02d' % idx)(x, train)
                 idx += 1
         # head conv: 1280 (not scaled down below 1280 for mult <= 1)
         head = _depth(1280, max(1.0, self.depth_mult))

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pocketflow_tpu.nn import BatchNorm, PFConv, global_avg_pool, max_pool, relu
-from pocketflow_tpu.nn.layers import PFDense
+from pocketflow_tpu.nn.layers import PFDense, maybe_remat
 
 
 def _w(module: nn.Module, child: str, default: int) -> int:
@@ -93,6 +93,7 @@ class ResNetCifar(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        block_cls = maybe_remat(BasicBlock)
         x = PFConv(_w(self, 'conv_init', 16), (3, 3), use_bias=False,
                    dtype=self.dtype, name='conv_init')(x)
         x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
@@ -100,34 +101,11 @@ class ResNetCifar(nn.Module):
         for stage, width in enumerate((16, 32, 64)):
             for block in range(self.nb_blocks):
                 strides = (2, 2) if (stage > 0 and block == 0) else (1, 1)
-                x = BasicBlock(width, strides, self.dtype, self.width_map,
-                               name='stage%d_block%d' % (stage + 1, block))(x, train)
+                x = block_cls(width, strides, self.dtype, self.width_map,
+                              name='stage%d_block%d' % (stage + 1, block))(x, train)
         x = global_avg_pool(x)
         x = PFDense(self.nb_classes, dtype=self.dtype, name='fc')(x)
         return x.astype(jnp.float32)
-
-
-def maybe_remat(block_cls):
-    """Wrap a block class per ``--remat_blocks`` (none | save_convs | full).
-
-    'save_convs' stores only the named conv products for backward and
-    recomputes BN/ReLU chains from them (jax.checkpoint_policies
-    save_only_these_names('conv_out')); 'full' stores block inputs only.
-    Both trade recompute for activation HBM traffic — useful when the step
-    is bandwidth-bound or activation-memory-bound (jax.checkpoint is the
-    TPU-native form of gradient checkpointing; no reference counterpart).
-    """
-    from pocketflow_tpu.config import FLAGS
-    mode = FLAGS.get('remat_blocks') or 'none'
-    if mode == 'none':
-        return block_cls
-    policy = None
-    if mode == 'save_convs':
-        policy = jax.checkpoint_policies.save_only_these_names('conv_out')
-    elif mode != 'full':
-        raise ValueError('unknown remat_blocks mode %r' % mode)
-    # static_argnums indexes the __call__ args with self at 0: train is 2
-    return nn.remat(block_cls, policy=policy, static_argnums=(2,))
 
 
 # block-size table (reference resnet_at_ilsvrc12.py:36-58)

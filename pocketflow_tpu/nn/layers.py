@@ -351,3 +351,29 @@ def avg_pool(x, window: Tuple[int, int] = (2, 2), strides: Optional[Tuple[int, i
 
 def global_avg_pool(x):
     return jnp.mean(x, axis=(1, 2))
+
+
+def maybe_remat(block_cls):
+    """Wrap a block module class per ``--remat_blocks`` (none | save_convs |
+    full).
+
+    'save_convs' stores only the named conv products for backward and
+    recomputes BN/ReLU chains from them (jax.checkpoint_policies
+    save_only_these_names('conv_out')); 'full' stores block inputs only.
+    Both trade recompute for activation HBM traffic/footprint — a MEMORY
+    knob on v5e (measured slower for throughput, experiments/step_remat.py);
+    jax.checkpoint is the TPU-native form of gradient checkpointing (no
+    reference counterpart).  Gradients are bit-identical across modes
+    (test-locked).  Blocks must have signature __call__(self, x, train).
+    """
+    from pocketflow_tpu.config import FLAGS
+    mode = FLAGS.get('remat_blocks') or 'none'
+    if mode == 'none':
+        return block_cls
+    policy = None
+    if mode == 'save_convs':
+        policy = jax.checkpoint_policies.save_only_these_names('conv_out')
+    elif mode != 'full':
+        raise ValueError('unknown remat_blocks mode %r' % mode)
+    # static_argnums indexes the __call__ args with self at 0: train is 2
+    return nn.remat(block_cls, policy=policy, static_argnums=(2,))

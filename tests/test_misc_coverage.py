@@ -193,3 +193,32 @@ def test_download_model_fetches_and_extracts(tmp_path):
         learner = FullPrecLearner(None, ModelHelper())
         with pytest.raises(ValueError, match='model_http_url'):
             learner.download_model()
+
+
+def test_remat_blocks_covers_mobilenet():
+    """maybe_remat wraps MobileNet blocks too; grads stay bit-identical."""
+    import jax
+    import jax.numpy as jnp
+    from pocketflow_tpu.nets.mobilenet import MobileNetV2
+
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)),
+                    jnp.float32)
+
+    def grads(mode):
+        with FLAGS.scope(remat_blocks=mode):
+            model = MobileNetV2(nb_classes=10, dtype=jnp.float32)
+            variables = jax.jit(
+                lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+
+            def loss(p):
+                out, _ = model.apply(
+                    {'params': p, 'batch_stats': variables['batch_stats']},
+                    x, train=True, mutable=['batch_stats'])
+                return jnp.sum(out ** 2)
+
+            return jax.jit(jax.grad(loss))(variables['params'])
+
+    base, got = grads('none'), grads('save_convs')
+    for a, b in zip(jax.tree_util.tree_leaves(base),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
