@@ -415,6 +415,14 @@ class AbstractLearner(ABC):
             raise ValueError(
                 'local model files do not exist and <model_http_url> is not '
                 'set (reference abstract_learner.py:116-117)')
+        if not url.endswith(('.tar', '.tar.gz', '.tgz')):
+            # reference semantics: the flag is a BASE url and the per-model
+            # tarball name 'models_<model>_at_<dataset>.tar.gz' is appended
+            # (reference abstract_learner.py:90,118)
+            tarball = 'models_%s_at_%s.tar.gz' % (
+                getattr(self.model_helper, 'model_name', 'model'),
+                getattr(self.model_helper, 'dataset_name', 'dataset'))
+            url = url.rstrip('/') + '/' + tarball
         if self.is_primary_worker():
             import tarfile
             import tempfile

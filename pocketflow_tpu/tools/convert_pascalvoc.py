@@ -75,6 +75,17 @@ def load_image(jpeg_path: str, image_size: int) -> np.ndarray:
         return np.asarray(img, np.uint8)
 
 
+def write_npz_shard(out_dir: str, subset: str, shard_idx: int, images,
+                    boxes_list, diff_list) -> str:
+    """One `<subset>_NNNN.npz` shard — the single definition of the VOC
+    shard format (shared with tools/convert_tfrecord.py)."""
+    path = os.path.join(out_dir, '%s_%04d.npz' % (subset, shard_idx))
+    np.savez_compressed(path, images=np.stack(images),
+                        boxes=np.asarray(boxes_list, object),
+                        difficult=np.asarray(diff_list, object))
+    return path
+
+
 def convert(voc_root: str, image_set: str, subset: str, out_dir: str,
             image_size: int = 300, shard_size: int = 2048,
             limit: Optional[int] = None) -> int:
@@ -92,11 +103,8 @@ def convert(voc_root: str, image_set: str, subset: str, out_dir: str,
         nonlocal shard_idx, images, boxes_list, diff_list
         if not images:
             return
-        path = os.path.join(out_dir, '%s_%04d.npz' % (subset, shard_idx))
-        np.savez_compressed(
-            path, images=np.stack(images),
-            boxes=np.asarray(boxes_list, object),
-            difficult=np.asarray(diff_list, object))
+        write_npz_shard(out_dir, subset, shard_idx, images, boxes_list,
+                        diff_list)
         shard_idx += 1
         images, boxes_list, diff_list = [], [], []
 

@@ -114,6 +114,7 @@ def convert_pascalvoc_tfrecords(src_glob: str, dst_dir: str, subset: str,
     """SSD-schema VOC TFRecords -> `<subset>_NNNN.npz` shards (boxes stored
     [label, ymin, xmin, ymax, xmax] normalized + difficult flags, identical
     to tools/convert_pascalvoc.py's XML path)."""
+    from pocketflow_tpu.tools.convert_pascalvoc import write_npz_shard
     os.makedirs(dst_dir, exist_ok=True)
     nb_written, shard_idx = 0, 0
     images, boxes_list, diff_list = [], [], []
@@ -122,10 +123,8 @@ def convert_pascalvoc_tfrecords(src_glob: str, dst_dir: str, subset: str,
         nonlocal shard_idx, images, boxes_list, diff_list
         if not images:
             return
-        path = os.path.join(dst_dir, '%s_%04d.npz' % (subset, shard_idx))
-        np.savez_compressed(path, images=np.stack(images),
-                            boxes=np.asarray(boxes_list, object),
-                            difficult=np.asarray(diff_list, object))
+        write_npz_shard(dst_dir, subset, shard_idx, images, boxes_list,
+                        diff_list)
         shard_idx += 1
         images, boxes_list, diff_list = [], [], []
 
@@ -151,8 +150,10 @@ def main(argv=None):
                         choices=('ilsvrc12', 'pascalvoc'))
     parser.add_argument('--src_glob', required=True)
     parser.add_argument('--dst_dir', required=True)
+    # only 'train'/'val' shard prefixes are discovered by the dataset
+    # loaders (datasets/ilsvrc12.py:38-41, datasets/pascalvoc.py:56)
     parser.add_argument('--subset', default='train',
-                        choices=('train', 'val', 'eval'))
+                        choices=('train', 'val'))
     parser.add_argument('--resize', type=int, default=256,
                         help='ilsvrc12: short-side resize + center crop')
     parser.add_argument('--image_size', type=int, default=300,

@@ -156,6 +156,9 @@ def main(argv=None):
         if FLAGS.tflite_latency:
             with open(tfl_path, 'rb') as fin:
                 tflite_lib.measure_latency(fin.read())
+    elif FLAGS.tflite_latency:
+        log.warning('--tflite_latency ignored: no TFLite artifact was '
+                    'exported (set --tflite_mode)')
     log.info('export written to %s', out)
     return out
 

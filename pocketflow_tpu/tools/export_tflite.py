@@ -75,10 +75,11 @@ def convert_to_tflite(model, variables, sample_images,
 
     sample = np.asarray(jax.device_get(sample_images), np.float32)
     forward = _frozen_forward(model, variables)
-    out_sd = jax.eval_shape(forward, jax.ShapeDtypeStruct(sample.shape,
-                                                          np.float32))
-    if any(l.dtype == jax.numpy.bfloat16
-           for l in jax.tree_util.tree_leaves(out_sd)):
+    # the zoo models cast their LOGITS to f32, so inspect the compute dtype
+    # attribute (and any non-f32 variables), not the output leaves
+    if getattr(model, 'dtype', None) == jax.numpy.bfloat16 or any(
+            l.dtype == jax.numpy.bfloat16
+            for l in jax.tree_util.tree_leaves(variables)):
         raise ValueError(
             'model computes in bfloat16, which TFLite builtins cannot '
             'legalize — rebuild the helper under compute_dtype=float32 '

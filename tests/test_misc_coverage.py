@@ -222,3 +222,33 @@ def test_remat_blocks_covers_mobilenet():
     for a, b in zip(jax.tree_util.tree_leaves(base),
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_download_model_base_url_appends_reference_tarball_name(tmp_path):
+    """Reference semantics: model_http_url may be a BASE url; the tarball
+    name models_<model>_at_<dataset>.tar.gz is appended (reference
+    abstract_learner.py:90,118)."""
+    import tarfile
+
+    from pocketflow_tpu.core import checkpoint as ckpt_lib
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+
+    src_dir = tmp_path / 'pretrained'
+    src_dir.mkdir()
+    ckpt_lib.save(str(src_dir / 'model.ckpt'), {'w': np.ones(2, np.float32)},
+                  step=3)
+    base_dir = tmp_path / 'remote'
+    base_dir.mkdir()
+    with tarfile.open(base_dir / 'models_convnet_at_fmnist.tar.gz',
+                      'w:gz') as tar:
+        for name in os.listdir(src_dir):
+            tar.add(str(src_dir / name), arcname=name)
+
+    save_dir = tmp_path / 'models_dl2'
+    with FLAGS.scope(save_path=str(save_dir / 'model.ckpt'),
+                     model_http_url='file://' + str(base_dir),
+                     batch_size=4, nb_smpls_train=16, nb_smpls_eval=8):
+        learner = FullPrecLearner(None, ModelHelper())
+        learner.download_model()
+        assert ckpt_lib.latest_checkpoint(str(save_dir)) is not None

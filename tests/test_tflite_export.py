@@ -79,6 +79,20 @@ def test_saved_model_export(small_model, tmp_path):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_tflite_rejects_bf16_models():
+    """bf16 models must fail with the clear rebuild-as-f32 error, not a
+    cryptic converter legalization failure."""
+    import jax.numpy as jnp
+    from pocketflow_tpu.nets.mobilenet import MobileNetV1
+    from pocketflow_tpu.tools import export_tflite as tfl
+    model = MobileNetV1(nb_classes=10, dtype=jnp.bfloat16)
+    x = np.random.default_rng(0).random((1, 32, 32, 3)).astype(np.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x,
+                                           train=False))()
+    with pytest.raises(ValueError, match='bfloat16'):
+        tfl.convert_to_tflite(model, variables, x)
+
+
 def test_tflite_latency_protocol(small_model):
     from pocketflow_tpu.tools import export_tflite as tfl
     model, variables, images = small_model
