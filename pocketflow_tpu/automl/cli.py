@@ -35,7 +35,7 @@ def main(argv=None):
     from pocketflow_tpu.core.metrics import get_logger
 
     FLAGS.DEFINE_integer('automl_nb_trials', 20, 'AutoML: number of trials')
-    FLAGS.DEFINE_string('automl_algo', 'GP', "AutoML: 'GP' | 'random'")
+    FLAGS.DEFINE_string('automl_algo', 'GP', "AutoML: 'GP' | 'TPE' | 'random'")
     FLAGS.DEFINE_string('automl_space', '',
                         "AutoML: 'name:type:min:max,...' (default: WS space)")
     FLAGS.DEFINE_string('automl_output', './automl_result.json',

@@ -90,6 +90,23 @@ def test_gp_search_beats_random_on_quadratic():
     assert abs(best['momentum'] - 0.7) < 0.15
 
 
+def test_tpe_search_converges_on_quadratic():
+    """TPE (the reference AutoML's other algo_type) homes in on the optimum."""
+    from pocketflow_tpu.automl.search import ParamSpec, run_automl
+    specs = [ParamSpec('lrn_rate_init', 'FLOAT', 0.0, 1.0),
+             ParamSpec('momentum', 'FLOAT', 0.0, 1.0)]
+
+    def objective(params):
+        return -(params['lrn_rate_init'] - 0.3) ** 2 \
+            - (params['momentum'] - 0.7) ** 2
+
+    best, best_obj, history = run_automl(objective, specs, nb_trials=40,
+                                         algo='TPE', seed=0)
+    assert best_obj > -0.03  # worst seed measured -0.017 over 12 seeds
+    assert abs(best['lrn_rate_init'] - 0.3) < 0.2
+    assert abs(best['momentum'] - 0.7) < 0.2
+
+
 def test_ws_constraint_repair():
     from pocketflow_tpu.automl.search import ws_constraint
     fixed = ws_constraint({'ws_iter_ratio_beg': 0.8, 'ws_iter_ratio_end': 0.2})
