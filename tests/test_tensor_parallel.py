@@ -115,3 +115,24 @@ def test_tp_composes_with_weight_sparsification():
             state.params, maskable_only=True)))
         assert pr == pytest.approx(0.5, abs=0.03), pr
     mesh_lib.reset_global_mesh()
+
+
+@pytest.mark.slow
+def test_tp_composes_with_detection_ssd():
+    """TP (model-axis sharded kernels) x SSD detection trains a step on the
+    4x2 mesh — detection models are not classification-only in the TP path."""
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.nets.vgg_at_pascalvoc import ModelHelper
+    mesh_lib.set_global_mesh(mesh_lib.build_mesh(
+        jax.devices()[:8], (mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS), (4, 2)))
+    with FLAGS.scope(batch_size=8, batch_size_eval=8, nb_smpls_train=64,
+                     nb_smpls_eval=32, nb_epochs_rat=0.01, voc_image_size=64,
+                     enbl_tensor_parallel=True):
+        learner = FullPrecLearner(None, ModelHelper())
+        state, tx, _ = learner.init_state()
+        step = learner.build_train_step(tx)
+        metrics = None
+        iterator = learner.dataset_train.build()
+        state, metrics = step(state, next(iterator), jax.random.PRNGKey(0))
+        got = jax.device_get(metrics)
+        assert np.isfinite(got['cls_loss']) and np.isfinite(got['loc_loss'])
