@@ -129,6 +129,15 @@ def main(argv=None):
                        variables['params']))}
         manifest = {}
 
+    if FLAGS.export_mode != 'chn-pruned-residual':
+        # the artifact must be self-contained for serving: BN running stats
+        # ride along under the 'batch_stats/' prefix (the residual-shrink
+        # packed tree already includes them)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                variables['batch_stats']):
+            pstr = '/'.join(str(getattr(p, 'key', p)) for p in path)
+            packed['batch_stats/' + pstr] = np.asarray(jax.device_get(leaf))
+
     out = export_lib.save_packed(packed, manifest, FLAGS.output_path + '.npz')
     export_lib.export_stablehlo(model, variables, sample,
                                 FLAGS.output_path + '.stablehlo')
