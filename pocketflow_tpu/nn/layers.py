@@ -319,10 +319,11 @@ class _GhostBatchNorm(nn.Module):
                                 lambda: jnp.zeros((features,), jnp.float32))
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones((features,), jnp.float32))
-        # stats from a contiguous leading slice (cheap HBM access pattern);
-        # stop_gradient'd rows beyond the slice don't exist -> backward's
-        # dmean/dvar corrections also shrink by the same factor
-        xs = x[:x.shape[0] // self.subsample].astype(jnp.float32)
+        # stats from every S-th sample: per-sample blocks stay contiguous
+        # for DMA, and under batch sharding the stride distributes the
+        # reduction evenly across chips (a leading slice would pile the
+        # whole stats pass onto the first chips of the data axis)
+        xs = x[::self.subsample].astype(jnp.float32)
         axes = tuple(range(xs.ndim - 1))
         mean = jnp.mean(xs, axis=axes)
         var = jnp.mean(jnp.square(xs), axis=axes) - jnp.square(mean)
