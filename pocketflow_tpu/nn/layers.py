@@ -274,13 +274,14 @@ class BatchNorm(nn.Module):
     improvement over the reference's per-GPU BN.
 
     ``--bn_stats_subsample=S`` (default 1 = exact) computes the batch
-    statistics from every S-th sample (ghost-BN): the train step is
-    HBM-bandwidth-bound and the stats reductions re-read every conv output, so
-    subsampling removes (S-1)/S of that traffic in forward AND backward.  The
-    stride is along the batch axis, so under batch sharding every chip reduces
-    the same fraction of its local shard (no cross-chip imbalance).  Exact BN
-    remains the default; the approximation only affects which samples define
-    mu/sigma, not the normalization algebra.
+    statistics from the leading 1/S contiguous slice of each data-shard
+    (ghost-BN): the train step is HBM-bandwidth-bound and the stats
+    reductions re-read every conv output, so subsampling removes (S-1)/S of
+    that traffic in forward AND backward.  Contiguous slices keep the read
+    DMA-friendly (a stride-S gather measured -37% end-to-end), and blocking
+    by the data-axis size keeps the reduction balanced across chips under
+    batch sharding.  Exact BN remains the default; the approximation only
+    affects which samples define mu/sigma, not the normalization algebra.
     """
     use_running_average: Optional[bool] = None
     momentum: float = 0.997
@@ -319,11 +320,21 @@ class _GhostBatchNorm(nn.Module):
                                 lambda: jnp.zeros((features,), jnp.float32))
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones((features,), jnp.float32))
-        # stats from every S-th sample: per-sample blocks stay contiguous
-        # for DMA, and under batch sharding the stride distributes the
-        # reduction evenly across chips (a leading slice would pile the
-        # whole stats pass onto the first chips of the data axis)
-        xs = x[::self.subsample].astype(jnp.float32)
+        # stats from the LEADING 1/S of each data-shard: contiguous slices
+        # keep the read DMA-friendly (a stride-S gather measured -37% on the
+        # whole train step), and blocking by the data-axis size keeps the
+        # reduction balanced across chips under batch sharding (a single
+        # global leading slice would pile the stats pass onto chip 0)
+        from pocketflow_tpu.core import mesh as mesh_lib
+        nb_shards = mesh_lib.num_workers()
+        batch = x.shape[0]
+        if nb_shards > 1 and batch % nb_shards == 0:
+            local = batch // nb_shards
+            xs = x.reshape((nb_shards, local) + x.shape[1:])
+            xs = xs[:, :max(1, local // self.subsample)]
+            xs = xs.reshape((-1,) + x.shape[1:]).astype(jnp.float32)
+        else:
+            xs = x[:batch // self.subsample].astype(jnp.float32)
         axes = tuple(range(xs.ndim - 1))
         mean = jnp.mean(xs, axis=axes)
         var = jnp.mean(jnp.square(xs), axis=axes) - jnp.square(mean)

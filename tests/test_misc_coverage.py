@@ -85,20 +85,24 @@ def test_nuq_rl_bit_search(tmp_path):
 
 
 def test_ghost_bn_matches_exact_stats_semantics():
-    """bn_stats_subsample: stats come from every S-th sample (strided, so
-    sharded batches stay balanced); the normalization algebra is otherwise
-    exact BN."""
+    """bn_stats_subsample: stats come from the leading 1/S slice of each
+    data-shard (contiguous, chip-balanced); the normalization algebra is
+    otherwise exact BN."""
     import jax
     import jax.numpy as jnp
     from pocketflow_tpu.nn import layers as L
 
+    from pocketflow_tpu.core import mesh as mesh_lib
     x = jax.random.normal(jax.random.PRNGKey(0), (16, 4, 4, 8)) * 2.0 + 1.0
     bn = L.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5,
                      dtype=jnp.float32)
+    # pin a 1-device mesh: nb_shards=1 -> one global leading slice
+    mesh_lib.set_global_mesh(mesh_lib.build_mesh(
+        jax.devices()[:1], (mesh_lib.DATA_AXIS,), (1,)))
     with FLAGS.scope(bn_stats_subsample=4):
         variables = bn.init(jax.random.PRNGKey(1), x)
         y, updates = bn.apply(variables, x, mutable=['batch_stats'])
-    xs = np.asarray(x[::4], np.float32)
+    xs = np.asarray(x[:4], np.float32)
     mean = xs.mean(axis=(0, 1, 2))
     var = (xs ** 2).mean(axis=(0, 1, 2)) - mean ** 2
     expected = (np.asarray(x) - mean) / np.sqrt(var + 1e-5)
@@ -253,3 +257,27 @@ def test_download_model_base_url_appends_reference_tarball_name(tmp_path):
         learner = FullPrecLearner(None, ModelHelper())
         learner.download_model()
         assert ckpt_lib.latest_checkpoint(str(save_dir)) is not None
+
+
+def test_ghost_bn_blocked_selection_under_sharding():
+    """With P data shards the subsample takes the leading 1/S of EACH
+    shard-block (contiguous per chip, balanced across chips)."""
+    import jax
+    import jax.numpy as jnp
+    from pocketflow_tpu.core import mesh as mesh_lib
+    from pocketflow_tpu.nn import layers as L
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (16, 2, 2, 4)) + 0.5
+    bn = L.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5,
+                     dtype=jnp.float32)
+    mesh_lib.set_global_mesh(mesh_lib.build_mesh(
+        jax.devices()[:4], (mesh_lib.DATA_AXIS,), (4,)))
+    with FLAGS.scope(bn_stats_subsample=4):
+        variables = bn.init(jax.random.PRNGKey(1), x)
+        y, _ = bn.apply(variables, x, mutable=['batch_stats'])
+    # shards of 4 samples each: selected rows are 0, 4, 8, 12
+    xs = np.asarray(x, np.float32)[[0, 4, 8, 12]]
+    mean = xs.mean(axis=(0, 1, 2))
+    var = (xs ** 2).mean(axis=(0, 1, 2)) - mean ** 2
+    expected = (np.asarray(x) - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=2e-4, atol=2e-4)
