@@ -80,3 +80,46 @@ def load_serving_model(artifact_path: str, model) -> Tuple[Any, Dict[str, Any]]:
         log.warning('artifact has no batch_stats — BN models need an '
                     'artifact exported with them included')
     return model, variables
+
+
+def main(argv=None):
+    """CLI: load an artifact, run a forward self-check, report latency.
+
+    python -m pocketflow_tpu.tools.serving --artifact=./export/model.npz \\
+        --export_model=resnet_at_cifar10 [--serve_batch=64]
+    """
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    import pocketflow_tpu  # noqa: F401
+    from pocketflow_tpu.config import FLAGS
+    from pocketflow_tpu.tools.benchmark import calc_inference_time
+
+    FLAGS.DEFINE_string('artifact', './export/model.npz', 'packed artifact')
+    FLAGS.DEFINE_string('export_model', 'convnet_at_fmnist',
+                        'model helper name')
+    FLAGS.DEFINE_integer('serve_batch', 64, 'benchmark batch size')
+    FLAGS.parse_args(argv)
+
+    import importlib
+    from main import MODELS
+    module = importlib.import_module(MODELS[FLAGS.export_model])
+    helper = module.ModelHelper()
+    model, variables = load_serving_model(FLAGS.artifact,
+                                          helper.create_model())
+    sample = helper.build_dataset_eval().synthesize_arrays(2)[0]
+    sample = helper.build_dataset_eval().augment(
+        jnp.asarray(sample[:2]), jax.random.PRNGKey(0), False)
+    logits = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, sample)
+    log.info('forward OK: logits %s %s', logits.shape, logits.dtype)
+    shape = (FLAGS.serve_batch,) + tuple(sample.shape[1:])
+    calc_inference_time(model, variables, shape)
+    return 0
+
+
+if __name__ == '__main__':
+    import sys
+    sys.exit(main(sys.argv[1:]))
