@@ -176,10 +176,10 @@ def replicated_sharding(mesh: Optional[Mesh] = None) -> NamedSharding:
 def shard_batch(batch, mesh: Optional[Mesh] = None):
     """Place a host-local batch onto the mesh, split along axis 0."""
     mesh = mesh or global_mesh()
-    sharding = data_sharding(mesh)
 
     def _put(x):
-        return jax.device_put(x, sharding.with_spec(P(DATA_AXIS, *([None] * (x.ndim - 1)))))
+        return jax.device_put(x, NamedSharding(
+            mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
 
     return jax.tree_util.tree_map(_put, batch)
 

@@ -86,10 +86,21 @@ def conv_layer_specs(model, params, batch_stats, sample_images):
         if c_in == 1 and x.shape[-1] != 1:
             continue  # depthwise conv: input channels not prunable this way
         stride_h = max(1, int(round((x.shape[1]) / out.shape[1])))
+        # infer the conv's padding from the captured shapes: patch
+        # extraction must use the SAME padding as the conv or every
+        # (X, Y) regression pair is spatially misaligned
+        same_out = -(-x.shape[1] // stride_h)
+        valid_out = -(-(x.shape[1] - h + 1) // stride_h)
+        padding = 'SAME' if out.shape[1] == same_out else 'VALID'
+        if out.shape[1] not in (same_out, valid_out):
+            get_logger().warning(
+                'conv %s: output height %d matches neither SAME (%d) nor '
+                'VALID (%d); assuming SAME', path, out.shape[1], same_out,
+                valid_out)
         flops = 2.0 * out.shape[1] * out.shape[2] * h * w * c_in * c_out
         specs.append({
             'path': path, 'kernel_shape': (h, w, c_in, c_out),
-            'strides': (stride_h, stride_h),
+            'strides': (stride_h, stride_h), 'padding': padding,
             'in_shape': tuple(x.shape), 'out_shape': tuple(out.shape),
             'flops': float(flops),
         })
@@ -156,7 +167,7 @@ def select_channels(P: np.ndarray, y: np.ndarray, c_new: int,
     alpha = (left + right) / 2
     idxs, count = nnz(alpha)
     for _ in range(60):
-        if FLAGS.cp_quadruple and count % 4 == 0 and abs(count - lbound) <= 2:
+        if FLAGS.cp_quadruple and count % 4 == 0 and abs(count - c_new) <= 2:
             break
         if lbound <= count <= rbound:
             if not FLAGS.cp_quadruple or count % 4 == 0:
@@ -225,9 +236,12 @@ class ChannelPruner:
                 bias = bias[key]
             if 'bias' in bias:
                 y_full = y_full - bias['bias'].astype(y_full.dtype)
-            # patches [B, H', W', c_in*h*w] with feature order (c, kh, kw)
+            # patches [B, H', W', c_in*h*w] with feature order (c, kh, kw);
+            # padding MUST match the conv's (inferred in conv_layer_specs)
+            # or X and Y index different spatial positions
             patches = jax.lax.conv_general_dilated_patches(
-                x.astype(jnp.float32), (h, w), strides, 'SAME',
+                x.astype(jnp.float32), (h, w), strides,
+                spec.get('padding', 'SAME'),
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
             B, Hp, Wp = patches.shape[:3]
             k1, k2, k3 = jax.random.split(rng, 3)

@@ -172,12 +172,27 @@ class ChannelPrunedLearner(AbstractLearner):
         """
         fbstats = state.batch_stats
         params = jax.device_get(self.copy_state(state).params)
-        train_iter = self.dataset_train.build()
-        group_step = self._build_group_ft_step() \
-            if (FLAGS.cp_finetune or FLAGS.cp_retrain) else None
+        # one prefetching iterator + one jitted finetune step for the WHOLE
+        # search: a fresh build()/jit per rollout would leak a prefetch
+        # thread and recompile the step on each of the ~200 AMC roll-outs
+        if getattr(self, '_cp_train_iter', None) is None:
+            self._cp_train_iter = self.dataset_train.build()
+        train_iter = self._cp_train_iter
+        group_step = None
+        if FLAGS.cp_finetune or FLAGS.cp_retrain:
+            if getattr(self, '_group_ft_step', None) is None:
+                self._group_ft_step = self._build_group_ft_step()
+            group_step = self._group_ft_step
         chn_masks = {}
         for spec, ratio in zip(self.specs, ratios):
             path = spec['path']
+            c_in = spec['kernel_shape'][2]
+            if max(1, int(math.ceil(ratio * c_in))) >= c_in:
+                # nothing to prune: skip the 30-batch feature collection
+                chn_masks[path] = np.ones(c_in, np.float32)
+                self.log.info('layer %s: kept %d/%d channels (target %.2f, '
+                              'no pruning)', path, c_in, c_in, ratio)
+                continue
             # sample from the CURRENT (partially pruned) params
             X, Y = self.pruner.collect(spec, jax.device_put(params),
                                        fbstats, train_iter, self.next_rng())
@@ -204,8 +219,12 @@ class ChannelPrunedLearner(AbstractLearner):
 
         masks = jax.tree_util.tree_map_with_path(mk, state.params)
         new_params = jax.device_put(params, self.repl_sharding)
-        state = self.set_extra(state.replace(params=new_params),
-                               {'masks': masks})
+        # the group finetune updated BN stats against the pruned kernels:
+        # they must travel with the params or eval runs on stale statistics
+        new_bstats = jax.device_put(jax.device_get(fbstats), self.repl_sharding)
+        state = self.set_extra(
+            state.replace(params=new_params, batch_stats=new_bstats),
+            {'masks': masks})
         return state, state.extra['masks']
 
     def _build_group_ft_step(self):
@@ -332,7 +351,15 @@ class ChannelPrunedLearner(AbstractLearner):
             if self.is_primary_worker():
                 agent.save_search(search_path, extras={
                     'idx_rlout': idx_rlout, 'reward_best': best_reward,
-                    'ratios_best': np.asarray(best_ratios, np.float32)})
+                    'ratios_best': np.asarray(
+                        best_ratios if best_ratios is not None else ratios,
+                        np.float32)})
+        if best_ratios is None:
+            # every reward was NaN/-inf (e.g. a degenerate bf16 blow-up):
+            # fall back to the final rollout instead of crashing the search
+            self.log.warning('no rollout produced a finite best reward; '
+                             'falling back to the final rollout ratios')
+            best_ratios = ratios
         # multi-host: process 0's search decision wins (collective sync)
         from pocketflow_tpu.core import mesh as mesh_lib
         arr = mesh_lib.broadcast_from_primary(
@@ -393,7 +420,8 @@ class ChannelPrunedLearner(AbstractLearner):
             return jnp.ones((), jnp.float32)
 
         masks = jax.tree_util.tree_map_with_path(mk, state.params)
-        state = state.replace(extra={'masks': masks})
+        # set_extra keeps the TP sharding contract (train() does the same)
+        state = self.set_extra(state, {'masks': masks})
         restored = self.restore_model(state, FLAGS.cp_channel_pruned_path)
         if restored is None:
             raise FileNotFoundError(

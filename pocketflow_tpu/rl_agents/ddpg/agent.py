@@ -320,13 +320,19 @@ class DdpgAgent:
             'stdev_curr': self.noise_spec.stdev_curr,
             'in_explore': self.in_explore,
         }
-        np.savez(path,
+        # atomic write (tmp + rename, like core/checkpoint.py): a preemption
+        # mid-save must never leave a truncated file that bricks the resume
+        if not path.endswith('.npz'):
+            path = path + '.npz'
+        tmp_path = path + '.tmp.npz'
+        np.savez(tmp_path,
                  buf_states=self.memory.states, buf_actions=self.memory.actions,
                  buf_rewards=self.memory.rewards, buf_terminals=self.memory.terminals,
                  buf_states_next=self.memory.states_next,
                  buf_head=self.memory.head, buf_count=self.memory.count,
                  **{k: np.frombuffer(v, np.uint8) if isinstance(v, bytes) else v
                     for k, v in blob.items()})
+        os.replace(tmp_path, path)
 
     def restore_search(self, path: str) -> bool:
         """Restore a checkpoint written by save_search; returns success."""
@@ -336,7 +342,13 @@ class DdpgAgent:
             path = path + '.npz'
         if not os.path.exists(path):
             return False
-        blob = np.load(path)
+        try:
+            blob = np.load(path)
+        except Exception as exc:  # corrupt/truncated file: start fresh
+            from pocketflow_tpu.core.metrics import get_logger
+            get_logger().warning('search checkpoint %s unreadable (%s); '
+                                 'starting the search from scratch', path, exc)
+            return False
         if self.state is None:
             self.init()
         self.restored_extras = {k[2:]: blob[k] for k in blob.files

@@ -109,3 +109,41 @@ def test_channel_pruned_amc_search(tmp_path):
         assert float(np.sum(flops * np.asarray(ratios))) \
             <= 0.5 * float(flops.sum()) + 1e-6
         assert os.path.exists(str(tmp_path / 'cp' / 'ddpg_search.npz'))
+
+
+def test_patch_sampler_aligns_with_valid_padding_convs():
+    """VALID-padding convs (LeNet): sampled (X, Y) pairs must satisfy the
+    reconstruction identity Y == sum_c X_c * W_c (the regression the LASSO
+    fits) — a padding mismatch in patch extraction breaks this silently."""
+    import jax
+    import jax.numpy as jnp
+    from pocketflow_tpu.learners.channel_pruning import channel_pruner as cp
+    from pocketflow_tpu.nets.lenet_at_cifar10 import ModelHelper
+
+    with FLAGS.scope(batch_size=4, batch_size_eval=4, nb_smpls_train=32,
+                     nb_smpls_eval=16, cp_nb_points_per_layer=6):
+        helper = ModelHelper()
+        model = helper.create_model()
+        x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)),
+                        jnp.float32)
+        variables = helper.init_model(jax.random.PRNGKey(0), x)
+        params = variables['params']
+        bstats = variables.get('batch_stats', {})
+        specs = cp.conv_layer_specs(model, params, bstats, x)
+        spec = next(s for s in specs if s['path'].endswith('conv2'))
+        assert spec['padding'] == 'VALID'
+
+        pruner = cp.ChannelPruner(model, helper.build_dataset_train(), specs)
+        batch = next(helper.build_dataset_train().build())
+        X, Y = pruner._sampler(spec)(params, bstats, batch,
+                                     jax.random.PRNGKey(2))
+        h, w, c_in, c_out = spec['kernel_shape']
+        kernel = params
+        for key in spec['path'].split('/'):
+            kernel = kernel[key]
+        W = np.asarray(kernel['kernel'], np.float32)  # [h, w, c_in, c_out]
+        Xn = np.asarray(X, np.float32)                # [P, c_in, h, w]
+        # X features are (c, kh, kw); W is (kh, kw, c, o)
+        pred = np.einsum('pchw,hwco->po', Xn, W)
+        Yn = np.asarray(Y, np.float32)
+        np.testing.assert_allclose(pred, Yn, rtol=2e-2, atol=2e-2)

@@ -150,3 +150,22 @@ def test_agent_search_checkpoint_roundtrip(tmp_path):
         assert fresh.memory.count == agent.memory.count
         np.testing.assert_array_equal(fresh.memory.rewards, agent.memory.rewards)
         assert not fresh.restore_search(str(tmp_path / 'missing.npz'))
+
+
+def test_restore_search_survives_corrupt_checkpoint(tmp_path):
+    """A truncated/corrupt search checkpoint (preemption mid-save) must
+    return False (fresh start), not crash the search; saves are atomic."""
+    from pocketflow_tpu.rl_agents.ddpg.agent import DdpgAgent
+    agent = DdpgAgent(s_dims=3, a_dims=1, nb_rlouts=4, buf_size=16,
+                      a_min=0.0, a_max=1.0, seed=0)
+    agent.init()
+    path = str(tmp_path / 'search.npz')
+    with open(path, 'wb') as fout:
+        fout.write(b'PK\x03\x04truncated-garbage')
+    assert agent.restore_search(path) is False
+    agent.save_search(path, extras={'idx_rlout': 1})
+    assert agent.restore_search(path)
+    assert int(agent.restored_extras['idx_rlout']) == 1
+    # no stray tmp file left behind
+    import os
+    assert not [f for f in os.listdir(tmp_path) if '.tmp' in f]

@@ -136,3 +136,14 @@ def test_tp_composes_with_detection_ssd():
         state, metrics = step(state, next(iterator), jax.random.PRNGKey(0))
         got = jax.device_get(metrics)
         assert np.isfinite(got['cls_loss']) and np.isfinite(got['loc_loss'])
+
+
+def test_shard_batch_places_leading_axis_on_data():
+    """mesh.shard_batch: leading axis split over 'data' (regression: used a
+    non-existent NamedSharding.with_spec)."""
+    mesh = mesh_lib.build_mesh(jax.devices()[:8], (mesh_lib.DATA_AXIS,), (8,))
+    batch = {'image': np.zeros((16, 4, 4, 3), np.uint8),
+             'label': np.zeros((16,), np.int32)}
+    out = mesh_lib.shard_batch(batch, mesh)
+    assert out['image'].sharding.spec[0] == mesh_lib.DATA_AXIS
+    assert out['label'].shape == (16,)
