@@ -197,6 +197,13 @@ class AbstractDataset(ABC):
         def gen():
             n = len(images)
             order = np.arange(n)
+            if shuffle:
+                rng.shuffle(order)  # the FIRST epoch must be shuffled too
+            if n < batch_size:
+                # tiny process shard: tile so the jitted step's fixed batch
+                # shape holds (short RL finetunes on split datasets hit this)
+                order = np.resize(order, batch_size)
+                n = batch_size
             pos = 0
             while True:
                 if pos + batch_size > n:
@@ -211,4 +218,6 @@ class AbstractDataset(ABC):
 
     @property
     def nb_batches_eval(self) -> int:
-        return -(-self.spec.nb_smpls_eval // self.spec.batch_size_eval)
+        """Whole batches in the eval set (tail dropped — matches
+        run_eval_loop's fixed-shape accounting)."""
+        return max(1, self.spec.nb_smpls_eval // self.spec.batch_size_eval)

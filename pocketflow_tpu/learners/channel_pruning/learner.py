@@ -119,6 +119,8 @@ class AmcRLHelper:
         return float(np.sum(self.flops * self.ratios))
 
     def calc_reward(self, accuracy: float) -> float:
+        if not np.isfinite(accuracy):
+            accuracy = 0.0  # diverged roll-out: worst finite reward, never NaN
         if FLAGS.cp_reward_policy == 'accuracy':
             return float(accuracy)
         # reward = -max(tol, 1-acc) * log(flops) (reference learner.py:611-621)

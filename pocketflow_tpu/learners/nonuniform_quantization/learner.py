@@ -90,14 +90,25 @@ class NonUniformQuantLearner(AbstractLearner):
         return state, tx, schedule
 
     def _build_extra(self, params, w_bits, a_bits):
-        def build(p):
-            return {
-                'codebooks': nuq_utils.init_codebooks(
-                    p, self.statistics['weight_paths'], w_bits),
-                'a_bits': jnp.asarray(np.asarray(a_bits) if len(a_bits)
-                                      else np.zeros(0), jnp.float32),
-            }
-        return jax.jit(build, out_shardings=self.repl_sharding)(params)
+        # cache the jitted builder per bit configuration: the RL bit search
+        # calls set_bits per roll-out, and a fresh jax.jit each call would
+        # recompile the whole codebook-init program (Lloyd scan included)
+        # even for repeated bit lists
+        key = (tuple(w_bits), tuple(a_bits))
+        cache = getattr(self, '_extra_builders', None)
+        if cache is None:
+            cache = self._extra_builders = {}
+        if key not in cache:
+            def build(p, _w_bits=list(w_bits), _a_bits=list(a_bits)):
+                return {
+                    'codebooks': nuq_utils.init_codebooks(
+                        p, self.statistics['weight_paths'], _w_bits),
+                    'a_bits': jnp.asarray(
+                        np.asarray(_a_bits) if len(_a_bits)
+                        else np.zeros(0), jnp.float32),
+                }
+            cache[key] = jax.jit(build, out_shardings=self.repl_sharding)
+        return cache[key](params)
 
     def set_bits(self, state: TrainState, w_bit_list, a_bit_list) -> TrainState:
         """Re-derive codebooks from current params at new bit-widths.
@@ -106,7 +117,8 @@ class NonUniformQuantLearner(AbstractLearner):
         (params, codebooks) must be rebuilt too (the momentum trace for the
         old codebook shapes cannot apply to the new ones)."""
         extra = self._build_extra(state.params, w_bit_list, a_bit_list)
-        state = state.replace(extra=extra)
+        # set_extra keeps the TP state-sharding contract when shapes change
+        state = self.set_extra(state, extra)
         if getattr(self, '_tx', None) is not None:
             opt_state = self.init_opt_state(
                 self._tx, (state.params, extra['codebooks']))
@@ -163,10 +175,13 @@ class NonUniformQuantLearner(AbstractLearner):
                 opt_state=new_opt_state,
                 extra={**state.extra, 'codebooks': new_books}), dict(metrics)
 
+        # TP contract: the state follows its (possibly TP-sharded) layout —
+        # forcing repl_sharding would gather sharded params every step
+        state_sharding = self._state_sharding or self.repl_sharding
         return jax.jit(
             step_fn,
-            in_shardings=(self.repl_sharding, self.batch_sharding, self.repl_sharding),
-            out_shardings=(self.repl_sharding, self.repl_sharding),
+            in_shardings=(state_sharding, self.batch_sharding, self.repl_sharding),
+            out_shardings=(state_sharding, self.repl_sharding),
             donate_argnums=(0,))
 
     def build_quant_eval_step(self):

@@ -52,11 +52,10 @@ class UniformQuantLearner(AbstractLearner):
             from pocketflow_tpu.learners.distillation_helper import DistillationHelper
             self.helper_dst = DistillationHelper(model_helper)
 
-        # discover quant sites with one abstract trace (utils.py:115-137)
-        sample = self.dataset_train.synthesize_arrays(2)[0] \
-            if FLAGS.synthetic_data else None
-        if sample is None:
-            sample = next(self.dataset_train.build())['image'][:2]
+        # discover quant sites with one abstract trace (utils.py:115-137);
+        # only the SHAPE matters, so synthesize instead of spinning up (and
+        # leaking) a real data iterator just for one sample
+        sample = self.dataset_train.synthesize_arrays(2)[0]
         sample = self.dataset_train.augment(
             jnp.asarray(sample[:2]), jax.random.PRNGKey(0), False)
         variables = model_helper.init_model(jax.random.PRNGKey(0), sample)

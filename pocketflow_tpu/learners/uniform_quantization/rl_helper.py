@@ -63,6 +63,8 @@ class RLHelper:
 
     @staticmethod
     def calc_reward(accuracy: float) -> np.ndarray:
+        if not np.isfinite(accuracy):
+            accuracy = 0.0  # diverged roll-out: worst finite reward, never NaN
         return float(accuracy) * np.ones((1, 1))
 
     def _calc_w_duty(self, idx: int) -> float:

@@ -56,6 +56,7 @@ class WeightSparseLearner(AbstractLearner):
 
         nb_iters = self.nb_iters_train
         upd_step = max(1, int(FLAGS.ws_mask_update_step))
+        idx_beg = int(nb_iters * FLAGS.ws_iter_ratio_beg)
         idx_end = int(nb_iters * FLAGS.ws_iter_ratio_end)
 
         def grad_transform(grads, state):
@@ -71,10 +72,14 @@ class WeightSparseLearner(AbstractLearner):
             def no_prune(operand):
                 return operand
 
-            # refresh masks every upd_step while the schedule is live, plus one
-            # final application right after idx_end (learner.py:68-78)
-            live = jnp.logical_and(step % upd_step == 0,
-                                   step <= idx_end + upd_step)
+            # refresh masks every upd_step while the schedule is live (the
+            # reference gates on iter_ratio >= ws_iter_ratio_beg too,
+            # learner.py:124-131: before idx_beg the dynamic ratio is 0 and a
+            # refresh would still zero min-magnitude ties), plus one final
+            # application right after idx_end (learner.py:68-78)
+            live = jnp.logical_and(
+                jnp.logical_and(step % upd_step == 0, step >= idx_beg),
+                step <= idx_end + upd_step)
             params, extra = jax.lax.cond(
                 live, do_prune, no_prune, (state.params, state.extra))
             # keep pruned positions *exactly* zero between refreshes: the SGD

@@ -61,6 +61,8 @@ class RLHelper:
         return (state / self.state_normalizer)[None, :]
 
     def calc_reward(self, accuracy: float) -> float:
+        if not np.isfinite(accuracy):
+            accuracy = 0.0  # diverged roll-out: worst finite reward, never NaN
         if FLAGS.ws_reward_type == 'single-obj':
             return float(accuracy)
         if FLAGS.ws_reward_type == 'multi-obj':
@@ -93,5 +95,14 @@ class RLHelper:
                                    * self.prune_ratios_max[idx + 1:]))
             pruned_req = np.sum(self.nb_params_full) * FLAGS.ws_prune_ratio
             ratio_req = (pruned_req - pruned_max) / self.nb_params_full[idx]
+            if ratio_req > pr_max + 1e-6:
+                # the reference asserts here (rl_helper.py:157-158): silently
+                # clamping would reward the agent for under-pruning and the
+                # global target could never be met
+                raise ValueError(
+                    'cannot reach the required pruning ratio %.3f: layer %d '
+                    'needs ratio %.3f > max %.3f (lower --ws_prune_ratio or '
+                    'raise --ws_prune_ratio_max)'
+                    % (FLAGS.ws_prune_ratio, idx, ratio_req, pr_max))
             pr_min = max(pr_min, min(ratio_req, pr_max))
         return pr_min, pr_max

@@ -49,6 +49,13 @@ class CalibrationPolicy(CompressionPolicy):
     def __init__(self):
         self.absmax: Dict[str, jax.Array] = {}
 
+    def reset_trace(self):
+        # per-trace accumulator: carrying tracers across jit traces (e.g. a
+        # differently-shaped final calibration batch) leaks them; the host
+        # loop in calibrate() maxes across batches instead
+        super().reset_trace()
+        self.absmax = {}
+
     def process_input(self, path, x):
         m = jnp.max(jnp.abs(x.astype(jnp.float32)))
         self.absmax[path] = jnp.maximum(self.absmax.get(path, 0.0), m)

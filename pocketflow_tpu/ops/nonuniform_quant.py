@@ -163,7 +163,9 @@ def lloyd_refine(x_norm: jax.Array, c: jax.Array, nb_iters: int = 25) -> jax.Arr
     cols = jax.lax.broadcasted_iota(jnp.int32, x_norm.shape, 1)
 
     def step(c, _):
-        assign = jnp.argmin(jnp.abs(x_norm[:, None, :] - c[None, :, :]), axis=1)
+        # row-chunked assignment (reuses _assign_and_gather): the naive
+        # [n, k, b] distance tensor is GB-scale for large kernels at 8 bits
+        _, assign = _assign_and_gather(x_norm, c)
         seg = (assign * b + cols).reshape(-1)
         sums = jax.ops.segment_sum(x_norm.reshape(-1), seg,
                                    num_segments=k * b).reshape(k, b)
