@@ -393,7 +393,18 @@ class AbstractLearner(ABC):
             save_path, {'params': state.params, 'batch_stats': state.batch_stats})
         if fields is None:
             return state, False
-        fields = jax.device_put(fields, self.repl_sharding)
+        # under TP the restored leaves must follow the state's shardings —
+        # forcing replication would spike per-device memory by the full
+        # model size (the situation TP exists to avoid)
+        if self.enbl_tp and self._state_sharding is not None:
+            fields = {
+                'params': jax.device_put(fields['params'],
+                                         self._state_sharding.params),
+                'batch_stats': jax.device_put(fields['batch_stats'],
+                                              self._state_sharding.batch_stats),
+            }
+        else:
+            fields = jax.device_put(fields, self.repl_sharding)
         self.log.info('baseline params restored from %s',
                       ckpt_lib.latest_checkpoint(os.path.dirname(save_path) or '.'))
         return state.replace(**fields), True

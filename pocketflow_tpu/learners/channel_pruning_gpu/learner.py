@@ -61,9 +61,14 @@ def channel_norms(kernel: jax.Array) -> jax.Array:
 
 
 def group_lasso_shrink(kernel: jax.Array, percentile: jax.Array) -> jax.Array:
-    """max(1 - thr/||w_c||, 0) shrinkage at the given percentile (:375-383)."""
+    """max(1 - thr/||w_c||, 0) shrinkage at the given percentile (:375-383).
+
+    percentile 0 (skipped head/tail layers) must be a NO-OP: quantile at 0
+    returns the minimum channel norm, which would zero the weakest channel
+    and shrink every other channel each PGD iteration."""
     norms = channel_norms(kernel)
-    thr = jnp.quantile(norms.reshape(-1), jnp.clip(percentile / 100.0, 0.0, 1.0))
+    pct = jnp.clip(percentile / 100.0, 0.0, 1.0)
+    thr = jnp.where(pct > 0.0, jnp.quantile(norms.reshape(-1), pct), 0.0)
     shrink = jnp.maximum(1.0 - thr / jnp.maximum(norms, 1e-20), 0.0)
     return (kernel.astype(jnp.float32) * shrink).astype(kernel.dtype)
 
@@ -189,7 +194,9 @@ class ChannelPrunedGpuLearner(AbstractLearner):
         fparams, fbstats = state.params, state.batch_stats
         pruned = self.copy_state(state).params
         lrn_rates = np.full(len(paths), FLAGS.cpg_lrn_rate_pgd_init, np.float32)
-        losses_prev = np.zeros(len(paths), np.float32)
+        # +inf: the adaptive rule must see a REAL previous loss before it
+        # decays (zeros would trigger a spurious 0.7x cut on iteration 1)
+        losses_prev = np.full(len(paths), np.inf, np.float32)
         target = np.asarray(ratios, np.float32) * 100.0
 
         for idx_iter in range(nb_iters):

@@ -195,9 +195,10 @@ class ChannelPrunedRmtLearner(AbstractLearner):
             return jnp.ones((), jnp.float32)
 
         masks = jax.tree_util.tree_map_with_path(mk, state.params)
-        return state.replace(
-            params=jax.device_put(params, self.repl_sharding),
-            extra={'masks': masks})
+        # set_extra keeps the TP state-sharding contract (like DCP/CPG)
+        return self.set_extra(
+            state.replace(params=jax.device_put(params, self.repl_sharding)),
+            {'masks': masks})
 
     # ------------------------------------------------------------------
 

@@ -65,7 +65,7 @@ class NonUniformQuantLearner(AbstractLearner):
             self.model_name, self.dataset_name)
         nb_smpls = self.dataset_train.spec.nb_smpls_train
         schedule = schedules.piecewise_constant(
-            self.global_batch_size, bnd_epochs, [decay_rates[0]] + decay_rates,
+            self.global_batch_size, bnd_epochs, decay_rates,
             nb_smpls)
         finetune_steps = max(1, int(
             nb_smpls * FLAGS.nuql_quant_epochs * FLAGS.nb_epochs_rat

@@ -121,7 +121,7 @@ class UniformQuantTFLearner(AbstractLearner):
             self.model_name, self.dataset_name)
         nb_smpls = self.dataset_train.spec.nb_smpls_train
         schedule = schedules.piecewise_constant(
-            self.global_batch_size, bnd_epochs, [decay_rates[0]] + decay_rates,
+            self.global_batch_size, bnd_epochs, decay_rates,
             nb_smpls)
         self.finetune_steps = max(1, int(
             nb_smpls * FLAGS.uql_quant_epochs * FLAGS.nb_epochs_rat
@@ -180,10 +180,13 @@ class UniformQuantTFLearner(AbstractLearner):
                 extra={'act_min': act_min, 'act_max': act_max})
             return state, dict(metrics)
 
+        # TP contract: follow the state's (possibly TP-sharded) layout like
+        # every other learner's train step
+        state_sharding = self._state_sharding or self.repl_sharding
         return jax.jit(
             step_fn,
-            in_shardings=(self.repl_sharding, self.batch_sharding, self.repl_sharding),
-            out_shardings=(self.repl_sharding, self.repl_sharding),
+            in_shardings=(state_sharding, self.batch_sharding, self.repl_sharding),
+            out_shardings=(state_sharding, self.repl_sharding),
             donate_argnums=(0,))
 
     def build_qat_eval_step(self):
@@ -207,7 +210,9 @@ class UniformQuantTFLearner(AbstractLearner):
         freeze_at = FLAGS.uqtf_freeze_bn_delay
         eval_step = self.build_qat_eval_step()
 
-        iterator = self.dataset_train.build()
+        # device_prefetch runs put_batch internally: global sharded batches
+        # (multi-host correct) with 2 copies in flight, like run_train_loop
+        iterator = self.device_prefetch(self.dataset_train.build())
         base_rng = self.next_rng()
         for idx_iter in range(self.finetune_steps):
             use_frozen = freeze_at is not None and idx_iter >= freeze_at

@@ -105,13 +105,18 @@ def match_anchors(gt_boxes: jax.Array, gt_classes: jax.Array,
     iou = iou * gt_valid[None, :]                          # kill padded gts
     best_gt = jnp.argmax(iou, axis=1)                      # [A]
     best_iou = jnp.max(iou, axis=1)                        # [A]
-    # bipartite: each valid gt forces its best anchor
+    # bipartite: each valid gt forces its best anchor.  Padded/difficult
+    # rows (valid <= 0) have all-zero IoU columns whose argmax is anchor 0 —
+    # they must NOT scatter, or a real gt forcing anchor 0 can lose the
+    # duplicate-index race to a padding row (class 0 + zero-box targets)
     best_anchor = jnp.argmax(iou, axis=0)                  # [M]
-    forced = jnp.zeros(anchors.shape[0], jnp.float32)
-    forced = forced.at[best_anchor].max(gt_valid)
-    gt_of_forced = jnp.zeros(anchors.shape[0], jnp.int32)
-    gt_of_forced = gt_of_forced.at[best_anchor].set(
-        jnp.arange(gt_boxes.shape[0], dtype=jnp.int32))
+    nb_anchors = anchors.shape[0]
+    safe_anchor = jnp.where(gt_valid > 0.5, best_anchor, nb_anchors)
+    forced = jnp.zeros(nb_anchors, jnp.float32)
+    forced = forced.at[safe_anchor].max(gt_valid, mode='drop')
+    gt_of_forced = jnp.zeros(nb_anchors, jnp.int32)
+    gt_of_forced = gt_of_forced.at[safe_anchor].set(
+        jnp.arange(gt_boxes.shape[0], dtype=jnp.int32), mode='drop')
     pos_mask = jnp.logical_or(best_iou >= pos_threshold, forced > 0.5)
     gt_idx = jnp.where(forced > 0.5, gt_of_forced, best_gt)
     cls_targets = jnp.where(

@@ -117,11 +117,8 @@ def main(argv=None):
             bucket_type=FLAGS.uql_bucket_type if FLAGS.uql_use_buckets else None,
             bucket_size=FLAGS.uql_bucket_size)
         manifest = {'weight_bits': FLAGS.uql_weight_bits}
-        restored = export_lib.unpack_quantized(packed)
-        # self-check: dequantized weights must reproduce the quantized model
-        flat = dict(packed)
-        log.info('quant export self-check over %d packed tensors',
-                 sum(1 for v in flat.values() if isinstance(v, dict)))
+        log.info('quant export: %d tensors int-packed',
+                 sum(1 for v in packed.values() if isinstance(v, dict)))
     else:
         packed = {k: np.asarray(v) for k, v in
                   ((('/'.join(str(getattr(p, "key", p)) for p in path)), leaf)
@@ -141,7 +138,29 @@ def main(argv=None):
     out = export_lib.save_packed(packed, manifest, FLAGS.output_path + '.npz')
     export_lib.export_stablehlo(model, variables, sample,
                                 FLAGS.output_path + '.stablehlo')
-    export_lib.numeric_self_check(model, variables, variables, sample)
+    # the REAL numeric self-check: reload the just-written artifact through
+    # the serving loader and compare logits against the live model (for
+    # 'quant' the delta is the quantization error, reported not gated)
+    from pocketflow_tpu.tools import serving as serving_lib
+    loaded_model, loaded_vars = serving_lib.load_serving_model(out, model)
+    if FLAGS.export_mode == 'chn-pruned-residual':
+        # exactness was already asserted above via expand_to_dense; the
+        # width-mapped model has a different param tree, so compare logits
+        a = np.asarray(jax.device_get(jax.jit(
+            lambda v, x: model.apply(v, x, train=False))(variables, sample)))
+        b = np.asarray(jax.device_get(jax.jit(
+            lambda v, x: loaded_model.apply(v, x, train=False))(
+                loaded_vars, sample)))
+        delta = float(np.max(np.abs(a - b)))
+        log.info('export self-check (shrunk serving): max |logits delta| '
+                 '= %.3e', delta)
+    else:
+        delta = export_lib.numeric_self_check(
+            model, variables, loaded_vars, sample)
+    if FLAGS.export_mode in ('plain', 'chn-pruned') and delta > 1e-3:
+        raise AssertionError(
+            'export artifact diverged from the live model (max delta %.3e)'
+            % delta)
 
     # serving artifacts target the PHYSICALLY SHRUNK model when the
     # residual-aware shrink ran (the reference's dedicated

@@ -237,7 +237,14 @@ def capture_conv_graph(model, variables, sample_shape: Sequence[int],
                 a_shape = a.aval.shape if hasattr(a, 'aval') else ()
                 b_shape = b.aval.shape if hasattr(b, 'aval') else ()
                 if pa is not None and pb is not None and a_shape == b_shape:
-                    prov[out] = _merge_prov(pa, pb)   # residual merge
+                    merged = _merge_prov(pa, pb)      # residual merge
+                    if merged == BROKEN:
+                        # one side is untracked (BROKEN/INPUT): the other
+                        # side's producers are still READ here, so they must
+                        # never be shrunk via some other clean consumer
+                        protect(pa)
+                        protect(pb)
+                    prov[out] = merged
                 else:
                     # broadcast with per-channel params / scalars: pass through
                     prov[out] = pa if pa is not None else pb
