@@ -40,6 +40,10 @@ def main(argv=None):
     for arg in leftovers:  # allow a bare positional model name
         if arg in MODELS:
             model_name = arg
+        elif arg.startswith('-'):
+            # the reference's tf.app.flags errors on unknown flags; a typo'd
+            # flag silently training with defaults is worse than exiting
+            raise SystemExit('unrecognized flag %r (see --help)' % arg)
     apply_path_conf(model_name)
 
     log = get_logger()

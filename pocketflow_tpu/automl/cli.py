@@ -50,6 +50,10 @@ def main(argv=None):
                         'model helper: ' + ' | '.join(sorted(MODELS)))
     FLAGS.parse_args(argv)
     log = get_logger()
+    # path.conf data dirs apply to AutoML trials too (else real-data users
+    # silently search over the synthetic fallback)
+    from pocketflow_tpu.utils.path_args import apply_path_conf
+    apply_path_conf(FLAGS.model)
 
     specs = (parse_space(FLAGS.automl_space) if FLAGS.automl_space
              else search_lib.WS_SEARCH_SPACE)

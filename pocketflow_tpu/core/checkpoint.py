@@ -67,6 +67,19 @@ def _orbax_restore_latest(save_path: str, target: Any) -> Optional[Any]:
     return mgr.restore(step, args=ocp.args.StandardRestore(target))
 
 
+def _orbax_restore_raw(save_path: str) -> Optional[Any]:
+    """Restore the newest orbax checkpoint as a raw (untyped) pytree."""
+    import orbax.checkpoint as ocp
+    save_dir = os.path.dirname(save_path) or '.'
+    if not os.path.isdir(save_dir):
+        return None
+    mgr = _orbax_manager(save_dir)
+    step = mgr.latest_step()
+    if step is None:
+        return None
+    return mgr.restore(step, args=ocp.args.StandardRestore())
+
+
 def wait_for_async_saves():
     """Block until in-flight orbax async saves complete (call before exit)."""
     for mgr in _ORBAX_MANAGERS.values():
@@ -211,6 +224,14 @@ def restore_fields(save_path: str, targets: dict) -> Optional[dict]:
     """
     path = latest_checkpoint(os.path.dirname(save_path) or '.')
     if path is None:
+        # the checkpoint may have been written by the orbax backend
+        # (explicitly, or as the multi-process-TP fallback in save())
+        if (FLAGS.get('ckpt_backend', 'msgpack') == 'orbax'
+                or jax.process_count() > 1):
+            raw = _orbax_restore_raw(save_path)
+            if raw is not None:
+                return {key: serialization.from_state_dict(target, raw[key])
+                        for key, target in targets.items()}
         return None
     with open(path, 'rb') as fin:
         raw = serialization.msgpack_restore(fin.read())

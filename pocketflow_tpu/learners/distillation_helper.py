@@ -31,8 +31,12 @@ class DistillationHelper:
         self.log = get_logger()
         if teacher_variables is None:
             teacher_variables = self._restore_teacher()
-        self.teacher_variables = jax.tree_util.tree_map(
-            jax.lax.stop_gradient, teacher_variables)
+        # one committed transfer (NOT per-leaf eager stop_gradient, which
+        # dispatches one remote op per leaf on a tunneled backend); the
+        # gradient is stopped at the teacher LOGITS in calc_logits
+        from pocketflow_tpu.core import mesh as mesh_lib
+        self.teacher_variables = jax.device_put(
+            teacher_variables, mesh_lib.replicated_sharding())
 
     def _restore_teacher(self) -> Dict[str, Any]:
         """Restore teacher params from the full-precision checkpoint dir.
@@ -44,13 +48,18 @@ class DistillationHelper:
         import os
         path = ckpt_lib.latest_checkpoint(os.path.dirname(FLAGS.save_path) or '.')
         if path is None:
-            raise FileNotFoundError(
-                'distillation requires a pretrained full-prec checkpoint under '
-                + os.path.dirname(FLAGS.save_path))
-        # The checkpoint holds a full TrainState; deserialize generically.
-        from flax import serialization
-        with open(path, 'rb') as fin:
-            raw = serialization.msgpack_restore(fin.read())
+            # the baseline may have been saved by the orbax backend
+            raw = ckpt_lib._orbax_restore_raw(FLAGS.save_path) \
+                if FLAGS.get('ckpt_backend', 'msgpack') == 'orbax' else None
+            if raw is None:
+                raise FileNotFoundError(
+                    'distillation requires a pretrained full-prec checkpoint '
+                    'under ' + os.path.dirname(FLAGS.save_path))
+        else:
+            # The checkpoint holds a full TrainState; deserialize generically.
+            from flax import serialization
+            with open(path, 'rb') as fin:
+                raw = serialization.msgpack_restore(fin.read())
         return {'params': raw['params'], 'batch_stats': raw.get('batch_stats', {})}
 
     def calc_logits(self, images: jax.Array) -> jax.Array:

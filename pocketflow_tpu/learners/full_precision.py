@@ -52,11 +52,12 @@ class FullPrecLearner(AbstractLearner):
         if hasattr(self.model_helper, 'evaluate_map'):
             # FULL eval set: the reference scores all 4,952 VOC test images
             # (vgg_at_pascalvoc.py:554-583); smoke tests shrink the set via
-            # --nb_smpls_eval instead of capping batches here.
-            nb_batches = max(1, -(-self.dataset_eval.spec.nb_smpls_eval
-                                  // self.dataset_eval.batch_size))
+            # --nb_smpls_eval instead of capping batches here.  The batch
+            # count comes from the samples ACTUALLY loaded on this process
+            # (nets/detection/eval_loop.nb_eval_batches), so the synthetic
+            # fallback / sharded runs never re-score wrapped-around images.
             map_metrics = self.model_helper.evaluate_map(
-                self.model, restored, self.dataset_eval, nb_batches=nb_batches)
+                self.model, restored, self.dataset_eval)
             self.log.info('detection eval: mAP = %.4f', map_metrics.get('mAP', 0.0))
             metrics = {**metrics, **map_metrics}
         return metrics

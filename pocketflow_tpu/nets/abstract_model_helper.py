@@ -121,8 +121,10 @@ class AbstractModelHelper(ABC):
         return jnp.mean(hit.astype(jnp.float32))
 
     @staticmethod
-    def weight_decay_loss(params, exclude_bn: bool = True) -> jax.Array:
-        """L2 weight decay over kernels (reference excludes BN params)."""
+    def weight_decay_loss(params, exclude_bn: bool = True,
+                          coeff: Optional[float] = None) -> jax.Array:
+        """L2 weight decay over kernels (reference excludes BN params).
+        `coeff` overrides the default FLAGS.loss_w_dcy coefficient."""
         total = jnp.asarray(0.0, jnp.float32)
         for path, leaf in jax.tree_util.tree_leaves_with_path(params):
             keys = [getattr(p, 'key', str(p)) for p in path]
@@ -131,4 +133,4 @@ class AbstractModelHelper(ABC):
             if str(keys[-1]) != 'kernel':
                 continue
             total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
-        return FLAGS.loss_w_dcy * total
+        return (FLAGS.loss_w_dcy if coeff is None else coeff) * total

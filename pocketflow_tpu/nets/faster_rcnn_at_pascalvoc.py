@@ -44,6 +44,10 @@ FLAGS.DEFINE_float('frcnn_rpn_nms_threshold', 0.7, 'Faster-RCNN: RPN NMS IoU')
 FLAGS.DEFINE_integer('frcnn_roi_size', 7, 'Faster-RCNN: ROI-align output size')
 FLAGS.DEFINE_integer('frcnn_roi_batch', 32,
                      'Faster-RCNN: sampled ROI minibatch per image (train)')
+FLAGS.DEFINE_float('frcnn_score_threshold', 0.05,
+                   'Faster-RCNN: eval detection score threshold')
+FLAGS.DEFINE_float('frcnn_nms_threshold', 0.45,
+                   'Faster-RCNN: eval per-class NMS IoU threshold')
 FLAGS.DEFINE_float('frcnn_fg_fraction', 0.25,
                    'Faster-RCNN: foreground fraction of the ROI minibatch')
 
@@ -311,25 +315,30 @@ class ModelHelper(AbstractModelHelper):
             return None
         if action == 'dump':
             out, labels = outputs
-            probs = np.asarray(jax.device_get(
-                jax.nn.softmax(out['cls_logits'], axis=-1)))
-            props = np.asarray(jax.device_get(out['roi_boxes']))
-            deltas = np.asarray(jax.device_get(out['box_deltas']))
+            # ONE jitted batched class-specific decode (per-image eager
+            # decode dispatched thousands of device round-trips)
+            if not hasattr(self, '_decode_batch'):
+                def decode_one(cl, bd, props):
+                    nb_c = cl.shape[-1]
+                    boxes = anchor_lib.decode_boxes(
+                        bd.reshape(-1, 4),
+                        jnp.repeat(props, nb_c, axis=0))
+                    return (jax.nn.softmax(cl, axis=-1),
+                            boxes.reshape(-1, nb_c, 4))
+                self._decode_batch = jax.jit(jax.vmap(decode_one))
+            probs, boxes_pc = jax.device_get(self._decode_batch(
+                out['cls_logits'], out['box_deltas'], out['roi_boxes']))
+            probs = np.asarray(probs)
+            boxes_pc = np.asarray(boxes_pc)
             valid = np.asarray(jax.device_get(out['proposal_valid']))
             labels = np.asarray(jax.device_get(labels))
-            nb_classes = probs.shape[-1]
             for i in range(probs.shape[0]):
-                # CLASS-SPECIFIC decode: every class's own deltas produce its
-                # own boxes (reference per-class parse + NMS)
-                d = deltas[i].reshape(-1, nb_classes, 4)          # [R, C, 4]
-                boxes_pc = np.asarray(jax.device_get(anchor_lib.decode_boxes(
-                    jnp.asarray(d.reshape(-1, 4)),
-                    jnp.repeat(jnp.asarray(props[i]), nb_classes, axis=0))))
-                boxes_pc = boxes_pc.reshape(-1, nb_classes, 4)
                 probs_i = probs[i].copy()
                 probs_i[valid[i] < 0.5] = 0.0
                 dets = nms_lib.parse_detections(
-                    probs_i, boxes_pc, score_threshold=0.05)
+                    probs_i, boxes_pc[i],
+                    score_threshold=FLAGS.frcnn_score_threshold,
+                    iou_threshold=FLAGS.frcnn_nms_threshold)
                 self._detections.append(dets)
                 self._groundtruth.append(labels[i])
             return None
@@ -340,19 +349,11 @@ class ModelHelper(AbstractModelHelper):
 
     def evaluate_map(self, model, state, dataset,
                      nb_batches: Optional[int] = None):
-        """VOC mAP over the full eval set by default (reference scores all
-        4,952 test images, vgg_at_pascalvoc.py:554-583)."""
-        if nb_batches is None:
-            nb_batches = max(1, -(-dataset.spec.nb_smpls_eval
-                                  // dataset.batch_size))
-        self.dump_n_eval(action='init')
-        iterator = dataset.build()
-        fwd = jax.jit(lambda v, x: model.apply(v, x, labels=None, train=False))
-        for _ in range(nb_batches):
-            batch = next(iterator)
-            images = dataset.augment(jnp.asarray(batch['image']),
-                                     jax.random.PRNGKey(0), False)
-            variables = {'params': state.params, 'batch_stats': state.batch_stats}
-            out = fwd(variables, images)
-            self.dump_n_eval((out, batch['label']), 'dump')
-        return self.dump_n_eval(action='eval')
+        """VOC mAP over the full loaded eval set by default (reference
+        scores all 4,952 test images, vgg_at_pascalvoc.py:554-583).
+        Shared driver: nets/detection/eval_loop.py."""
+        from pocketflow_tpu.nets.detection.eval_loop import run_detection_eval
+        return run_detection_eval(
+            self, model, state, dataset,
+            lambda v, x: model.apply(v, x, labels=None, train=False),
+            nb_batches)

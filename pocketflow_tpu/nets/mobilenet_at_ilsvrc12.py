@@ -49,10 +49,11 @@ class ModelHelper(AbstractModelHelper):
 
     def calc_loss(self, labels, outputs, trainable_vars):
         loss = self.softmax_cross_entropy(labels, outputs)
-        # wd 4e-5 excluding BN (reference :105-109); weight_decay_loss scales
-        # by FLAGS.loss_w_dcy, so rescale to the mobilenet coefficient
-        wd = self.weight_decay_loss(trainable_vars, exclude_bn=True)
-        loss = loss + wd * (0.5 * 4e-5 / FLAGS.loss_w_dcy)
+        # wd 4e-5 excluding BN (reference :105-109), applied directly — the
+        # old divide-by-loss_w_dcy rescale crashed at 0 and made the flag a
+        # no-op
+        loss = loss + self.weight_decay_loss(trainable_vars, exclude_bn=True,
+                                             coeff=0.5 * 4e-5)
         acc1 = self.accuracy(labels, outputs)
         acc5 = self.accuracy(labels, outputs, topk=5)
         return loss, {'accuracy': acc5, 'acc_top1': acc1, 'acc_top5': acc5}

@@ -123,15 +123,22 @@ class ModelHelper(AbstractModelHelper):
             self._detections, self._groundtruth = [], []
             return None
         if action == 'dump':
-            cls_logits, box_deltas, labels = outputs
-            probs = jax.device_get(jax.nn.softmax(cls_logits, axis=-1))
-            deltas = np.asarray(jax.device_get(box_deltas))
+            (cls_logits, box_deltas), labels = outputs
+            # ONE jitted batched decode instead of a per-image eager call
+            # (each eager dispatch is a device round-trip)
+            if not hasattr(self, '_decode_batch'):
+                anchors = jnp.asarray(self.anchors_np)
+                self._decode_batch = jax.jit(lambda cl, bd: (
+                    jax.nn.softmax(cl, axis=-1),
+                    jax.vmap(lambda d: anchor_lib.decode_boxes(d, anchors))(bd)))
+            probs, boxes_b = jax.device_get(
+                self._decode_batch(cls_logits, box_deltas))
+            probs = np.asarray(probs)
+            boxes_b = np.asarray(boxes_b)
             labels = np.asarray(jax.device_get(labels))
             for i in range(probs.shape[0]):
-                boxes = np.asarray(jax.device_get(anchor_lib.decode_boxes(
-                    jnp.asarray(deltas[i]), jnp.asarray(self.anchors_np))))
                 self._detections.append(nms_lib.parse_detections(
-                    np.asarray(probs[i]), boxes,
+                    probs[i], boxes_b[i],
                     score_threshold=FLAGS.ssd_score_threshold,
                     iou_threshold=FLAGS.ssd_nms_threshold))
                 self._groundtruth.append(labels[i])
@@ -144,20 +151,11 @@ class ModelHelper(AbstractModelHelper):
     def evaluate_map(self, model, state, dataset, nb_batches=None):
         """Full detection eval loop -> VOC mAP (learner-callable).
 
-        Defaults to the FULL eval set (reference scores all 4,952 VOC test
-        images, vgg_at_pascalvoc.py:554-583); pass nb_batches for smoke runs.
+        Defaults to the FULL loaded eval set (reference scores all 4,952 VOC
+        test images, vgg_at_pascalvoc.py:554-583); pass nb_batches for smoke
+        runs.  Shared driver: nets/detection/eval_loop.py.
         """
-        if nb_batches is None:
-            nb_batches = max(1, -(-dataset.spec.nb_smpls_eval
-                                  // dataset.batch_size))
-        self.dump_n_eval(action='init')
-        iterator = dataset.build()
-        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
-        for _ in range(nb_batches):
-            batch = next(iterator)
-            images = dataset.augment(jnp.asarray(batch['image']),
-                                     jax.random.PRNGKey(0), False)
-            variables = {'params': state.params, 'batch_stats': state.batch_stats}
-            cls_logits, box_deltas = fwd(variables, images)
-            self.dump_n_eval((cls_logits, box_deltas, batch['label']), 'dump')
-        return self.dump_n_eval(action='eval')
+        from pocketflow_tpu.nets.detection.eval_loop import run_detection_eval
+        return run_detection_eval(
+            self, model, state, dataset,
+            lambda v, x: model.apply(v, x, train=False), nb_batches)

@@ -281,3 +281,47 @@ def test_ghost_bn_blocked_selection_under_sharding():
     var = (xs ** 2).mean(axis=(0, 1, 2)) - mean ** 2
     expected = (np.asarray(x) - mean) / np.sqrt(var + 1e-5)
     np.testing.assert_allclose(np.asarray(y), expected, rtol=2e-4, atol=2e-4)
+
+
+def test_mobilenet_loss_w_dcy_zero_ok():
+    """--loss_w_dcy=0 must disable the GLOBAL decay without crashing the
+    mobilenet helper (its 4e-5 recipe coefficient is independent)."""
+    import jax
+    import jax.numpy as jnp
+    from pocketflow_tpu.nets.mobilenet_at_ilsvrc12 import ModelHelper
+    with FLAGS.scope(loss_w_dcy=0.0, batch_size=2, batch_size_eval=2,
+                     nb_smpls_train=8, nb_smpls_eval=8, mobilenet_version=1):
+        helper = ModelHelper()
+        model = helper.create_model()
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x,
+                                               train=False))()
+        out = model.apply(variables, x, train=False)
+        loss, metrics = helper.calc_loss(
+            jnp.zeros(2, jnp.int32), out, variables['params'])
+        assert np.isfinite(float(loss))
+
+
+def test_main_rejects_unknown_flags():
+    import main as main_mod
+    with pytest.raises(SystemExit, match='unrecognized flag'):
+        main_mod.main(['--model=convnet_at_fmnist', '--lern_rate_init=0.1'])
+
+
+def test_distillation_restores_orbax_teacher(tmp_path):
+    """--ckpt_backend=orbax baseline + --enbl_dst: the teacher must restore
+    through the orbax fallback (it used to be msgpack-only)."""
+    from pocketflow_tpu.core import checkpoint as ckpt_lib
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+    with FLAGS.scope(ckpt_backend='orbax', batch_size=4, nb_smpls_train=32,
+                     nb_smpls_eval=16,
+                     save_path=str(tmp_path / 'base' / 'model.ckpt')):
+        learner = FullPrecLearner(None, ModelHelper())
+        state, _, _ = learner.init_state()
+        ckpt_lib.save(FLAGS.save_path, state, step=1)
+        ckpt_lib.wait_for_async_saves()
+        from pocketflow_tpu.learners.distillation_helper import \
+            DistillationHelper
+        helper = DistillationHelper(learner.model_helper)
+        assert helper.teacher_variables['params']
