@@ -201,8 +201,11 @@ def run_automl(objective_fn: Callable[[Dict[str, float]], float],
     repair proposals (cvt_hparam_file.py's iter_ratio_beg < iter_ratio_end
     fix-up).
     """
-    searcher = {'GP': GPSearch, 'TPE': TPESearch}.get(
-        algo.upper(), RandomSearch)(specs, seed)
+    searchers = {'GP': GPSearch, 'TPE': TPESearch, 'RANDOM': RandomSearch}
+    if algo.upper() not in searchers:
+        raise ValueError("unrecognized AutoML algo %r (choose 'GP' | 'TPE' "
+                         "| 'random')" % algo)
+    searcher = searchers[algo.upper()](specs, seed)
     best_params, best_obj, history = None, -np.inf, []
     for idx in range(nb_trials):
         proposal = searcher.propose()

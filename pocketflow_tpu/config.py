@@ -154,6 +154,9 @@ class FlagRegistry:
                                     default=None, help=spec.help)
             else:
                 parser.add_argument('--' + spec.name, default=None, help=spec.help)
+        if any(a in ('--help', '-h') for a in argv):
+            parser.print_help()
+            raise SystemExit(0)
         namespace, leftovers = parser.parse_known_args(argv)
         for key, value in vars(namespace).items():
             if value is not None:

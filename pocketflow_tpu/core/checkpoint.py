@@ -128,7 +128,15 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
     if not os.path.exists(idx):
         return None
     with open(idx) as fin:
-        meta = json.load(fin)
+        try:
+            meta = json.load(fin)
+        except (json.JSONDecodeError, UnicodeDecodeError) as exc:
+            # e.g. a TF1 proto-text 'checkpoint' index from the reference's
+            # model zoo tarballs — not this framework's format
+            raise ValueError(
+                "checkpoint index %s is not this framework's JSON format "
+                '(TF1 checkpoints from the reference model zoo cannot be '
+                'loaded directly): %s' % (idx, exc)) from exc
     path = os.path.join(save_dir, meta['latest'])
     return path if os.path.exists(path) else None
 

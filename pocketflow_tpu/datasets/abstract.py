@@ -216,8 +216,3 @@ class AbstractDataset(ABC):
 
         return _Prefetcher(gen, depth=max(2, FLAGS.prefetch_size))
 
-    @property
-    def nb_batches_eval(self) -> int:
-        """Whole batches in the eval set (tail dropped — matches
-        run_eval_loop's fixed-shape accounting)."""
-        return max(1, self.spec.nb_smpls_eval // self.spec.batch_size_eval)

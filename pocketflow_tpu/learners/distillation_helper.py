@@ -49,8 +49,11 @@ class DistillationHelper:
         path = ckpt_lib.latest_checkpoint(os.path.dirname(FLAGS.save_path) or '.')
         if path is None:
             # the baseline may have been saved by the orbax backend
-            raw = ckpt_lib._orbax_restore_raw(FLAGS.save_path) \
-                if FLAGS.get('ckpt_backend', 'msgpack') == 'orbax' else None
+            # orbax is also the silent multi-process-TP fallback in save()
+            raw = None
+            if (FLAGS.get('ckpt_backend', 'msgpack') == 'orbax'
+                    or jax.process_count() > 1):
+                raw = ckpt_lib._orbax_restore_raw(FLAGS.save_path)
             if raw is None:
                 raise FileNotFoundError(
                     'distillation requires a pretrained full-prec checkpoint '

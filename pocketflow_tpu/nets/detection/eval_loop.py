@@ -30,8 +30,11 @@ def nb_eval_batches(dataset, nb_batches: Optional[int] = None) -> int:
         return nb_batches
     nb_smpls = getattr(dataset, 'nb_smpls_loaded', None)
     if nb_smpls is None:
-        nb_smpls = dataset.spec.nb_smpls_eval // max(1, jax.process_count())
-    return max(1, nb_smpls // dataset.batch_size)
+        nb_smpls = dataset.spec.nb_smpls_eval
+    # nb_smpls_loaded is recorded BEFORE the process-shard split
+    # (datasets/abstract.py): divide like run_eval_loop does
+    return max(1, nb_smpls // (dataset.batch_size
+                               * max(1, jax.process_count())))
 
 
 def run_detection_eval(helper, model, state, dataset, forward_fn,

@@ -109,9 +109,9 @@ def main(argv=None):
     helper = module.ModelHelper()
     model, variables = load_serving_model(FLAGS.artifact,
                                           helper.create_model())
-    sample = helper.build_dataset_eval().synthesize_arrays(2)[0]
-    sample = helper.build_dataset_eval().augment(
-        jnp.asarray(sample[:2]), jax.random.PRNGKey(0), False)
+    ds = helper.build_dataset_eval()
+    sample = ds.augment(jnp.asarray(ds.synthesize_arrays(2)[0][:2]),
+                        jax.random.PRNGKey(0), False)
     logits = jax.jit(lambda v, x: model.apply(v, x, train=False))(
         variables, sample)
     log.info('forward OK: logits %s %s', logits.shape, logits.dtype)
