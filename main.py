@@ -27,6 +27,13 @@ MODELS = {
 
 
 def main(argv=None):
+    import os
+    if os.environ.get('JAX_PLATFORMS'):
+        # honor the env var even when a sitecustomize pre-imported jax with
+        # another platform baked in (JAX_PLATFORMS=cpu for local multi-host
+        # smoke runs via scripts/run_multihost.sh)
+        import jax
+        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
     import pocketflow_tpu  # registers the full flag surface
     from pocketflow_tpu.config import FLAGS
     from pocketflow_tpu.core.metrics import SummaryWriter, get_logger

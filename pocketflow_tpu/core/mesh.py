@@ -88,9 +88,18 @@ def distributed_init():
     env vars are set by the launcher and `jax.distributed.initialize` wires up
     DCN.
     """
-    if os.environ.get('JAX_COORDINATOR_ADDRESS') or os.environ.get('COORDINATOR_ADDRESS'):
+    addr = (os.environ.get('JAX_COORDINATOR_ADDRESS')
+            or os.environ.get('COORDINATOR_ADDRESS'))
+    if addr:
+        # pass the env config explicitly: the no-arg initialize only
+        # auto-detects managed clusters (SLURM/GKE...), not plain env vars
+        kwargs = {'coordinator_address': addr}
+        if os.environ.get('JAX_NUM_PROCESSES'):
+            kwargs['num_processes'] = int(os.environ['JAX_NUM_PROCESSES'])
+        if os.environ.get('JAX_PROCESS_ID'):
+            kwargs['process_id'] = int(os.environ['JAX_PROCESS_ID'])
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
         except RuntimeError:
             pass  # already initialized
 
