@@ -43,6 +43,9 @@ FLAGS.DEFINE_integer('cp_nb_points_per_layer', 10,
 FLAGS.DEFINE_integer('cp_nb_batches', 30, 'CP: batches sampled for reconstruction')
 FLAGS.DEFINE_boolean('cp_quadruple', False,
                      'CP: force surviving channel counts to multiples of 4')
+FLAGS.DEFINE_integer('cp_lasso_nb_iters', 300,
+                     'CP: ISTA iterations per LASSO solve (tests/smoke runs '
+                     'can lower this)')
 
 
 class InputCapturePolicy(CapturePolicy):
@@ -111,7 +114,9 @@ def conv_layer_specs(model, params, batch_stats, sample_images):
 # jitted ISTA LASSO (replaces sklearn LassoLars, reference :482-490)
 # ---------------------------------------------------------------------------
 
-def make_lasso_solver(nb_iters: int = 300):
+def make_lasso_solver(nb_iters: Optional[int] = None):
+    if nb_iters is None:
+        nb_iters = int(FLAGS.cp_lasso_nb_iters)
     @jax.jit
     def solve(P, y, alpha):
         """min 1/2||y - P b||^2 + alpha*||b||_1 via ISTA; returns beta."""

@@ -22,6 +22,12 @@ stop-gradient'ed (learners/capture.py) so the summed regression loss yields
 each layer's independent gradient, and per-layer learning rates / percentile
 schedules ride in as traced [L] vectors from the host.  1000 dispatches
 total instead of 1000 x L.
+
+Scope note: the fixed-lr Adam reconstruction (reference :385-392 semantics)
+assumes BN-normalized networks — BN absorbs the uniform per-weight kick of
+Adam's first steps.  On BN-free backbones (VGG-SSD) those kicks compound
+multiplicatively and the reconstruction diverges; use the LASSO `channel`
+learner for such models (as the reference does for detection).
 """
 
 from __future__ import annotations

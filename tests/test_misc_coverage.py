@@ -325,3 +325,35 @@ def test_distillation_restores_orbax_teacher(tmp_path):
             DistillationHelper
         helper = DistillationHelper(learner.model_helper)
         assert helper.teacher_variables['params']
+
+
+@pytest.mark.slow
+def test_channel_pruning_on_ssd_detection(tmp_path):
+    """BASELINE config #5: detection + channel pruning (the reference's
+    LASSO `channel` learner on SSD kernels) prunes per-layer at the target
+    ratio and evals finite.  (The CPG learner's fixed-lr Adam reconstruction
+    assumes BN-normalized nets and diverges on the BN-free VGG — use the
+    LASSO learner for detection, like the reference does.)"""
+    from pocketflow_tpu.learners.channel_pruning.learner import \
+        ChannelPrunedLearner
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.learners.weight_sparsification import masking
+    from pocketflow_tpu.nets.vgg_at_pascalvoc import ModelHelper
+    with FLAGS.scope(batch_size=4, batch_size_eval=4, nb_smpls_train=64,
+                     nb_smpls_eval=16, nb_epochs_rat=0.04,
+                     lrn_rate_init=0.003, voc_image_size=64, nb_bboxs_max=8,
+                     loss_w_dcy=0.0, cp_prune_option='uniform',
+                     cp_uniform_preserve_ratio=0.6, cp_nb_batches=2,
+                     cp_nb_points_per_layer=4, cp_nb_iters_ft_ratio=0.1,
+                     cp_lasso_nb_iters=60,
+                     save_path=str(tmp_path / 'base' / 'model.ckpt'),
+                     cp_channel_pruned_path=str(tmp_path / 'cp' / 'model.ckpt')):
+        base = FullPrecLearner(None, ModelHelper())
+        base.train()
+        learner = ChannelPrunedLearner(None, ModelHelper())
+        state = learner.train()
+        metrics = learner.run_eval_loop(state, learner.build_eval_step())
+        assert np.isfinite(metrics['loss']), metrics
+        pr = float(jax.device_get(masking.calc_prune_ratio(
+            state.params, maskable_only=True)))
+        assert pr > 0.2, pr  # input channels actually pruned
