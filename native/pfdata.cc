@@ -181,14 +181,18 @@ struct Sampler {
       workers.emplace_back([this] { run_worker(); });
   }
 
-  // Returns 1 on success, 0 on IO failure inside the batch.
+  // Returns 1 on success, 0 on IO failure inside the batch or on shutdown
+  // (a consumer blocked in next() while the sampler is destroyed from
+  // another thread unblocks with an error instead of hanging forever).
   int next(uint8_t* images_out, float* labels_out) {
     Batch b;
     {
       std::unique_lock<std::mutex> lock(mu);
       const int64_t want = seq_deliver;
-      cv_deliver.wait(lock, [&] { return ready.count(want) != 0; });
+      cv_deliver.wait(lock,
+                      [&] { return stop.load() || ready.count(want) != 0; });
       auto it = ready.find(want);
+      if (it == ready.end()) return 0;  // stopped with nothing ready
       b = std::move(it->second);
       ready.erase(it);
       ++seq_deliver;
@@ -202,6 +206,7 @@ struct Sampler {
   ~Sampler() {
     stop.store(true);
     cv_draw.notify_all();
+    cv_deliver.notify_all();
     for (auto& w : workers) w.join();
   }
 };

@@ -42,6 +42,17 @@ FLAGS.DEFINE_integer('batch_size_eval', None, 'batch size for evaluation (overri
 FLAGS.DEFINE_string('data_dir_local', None, 'data directory - local')
 FLAGS.DEFINE_boolean('enbl_native_loader', True,
                      'use the native (C++) threaded batch sampler when buildable')
+FLAGS.DEFINE_string('synthetic_task', 'blobs',
+                    'synthetic-data task: `blobs` (fast-saturating smoke '
+                    'data for e2e tests) or `hard` (non-saturating '
+                    'template-classification task for the accuracy-parity '
+                    'harness: the full-precision baseline lands mid-range, '
+                    'so compression regressions are measurable)')
+FLAGS.DEFINE_float('synthetic_snr', 0.25,
+                   'hard task: per-pixel template amplitude over unit noise')
+FLAGS.DEFINE_float('synthetic_label_noise', 0.1,
+                   'hard task: fraction of TRAIN labels flipped uniformly '
+                   '(eval labels stay clean)')
 
 
 @dataclass(frozen=True)
@@ -132,7 +143,12 @@ class AbstractDataset(ABC):
         Class-dependent low-frequency patterns let tiny models reach high
         accuracy within a few hundred steps, which the test-suite uses the way
         the reference uses FMNIST smoke runs (docs/docs/test_cases.md).
+
+        With --synthetic_task=hard, delegates to the non-saturating parity
+        task instead (see synthesize_arrays_hard).
         """
+        if FLAGS.get('synthetic_task') == 'hard':
+            return self.synthesize_arrays_hard(nb_smpls)
         spec = self.spec
         n = nb_smpls or (spec.nb_smpls_train if self.is_train else spec.nb_smpls_eval)
         h, w, c = spec.image_shape
@@ -150,6 +166,65 @@ class AbstractDataset(ABC):
         images = base[..., None] + noise  # broadcast over channels
         images = np.broadcast_to(images, (n, h, w, c))
         return np.clip(images, 0, 255).astype(np.uint8), labels
+
+    def synthesize_arrays_hard(self, nb_smpls: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Non-saturating parity task: noisy template classification.
+
+        Each class k has a fixed smooth random template T_k (low-res Gaussian,
+        bilinearly upsampled, zero-mean unit-RMS); a sample with label k is
+        ``snr * T_k + N(0,1)`` per pixel.  The matched-filter (Bayes) accuracy
+        is a smooth function of ``snr`` and the class count, so — unlike the
+        saturating blobs task — model degradation moves eval accuracy
+        SMOOTHLY: a capacity-limited net lands mid-range and any compression
+        bug (wrong quant levels, broken masks, mis-selected channels) shows
+        up as a measurable accuracy delta.  Train labels are flipped with
+        probability --synthetic_label_noise (eval labels stay clean), bounding
+        train-set memorization.  Templates are shared between train and eval
+        (fixed seed); sample noise is held out per subset.
+        """
+        spec = self.spec
+        n = nb_smpls or (spec.nb_smpls_train if self.is_train else spec.nb_smpls_eval)
+        h, w, c = spec.image_shape
+        n = max(64, min(n, 16384, (1 << 28) // (h * w * c)))
+        snr = float(FLAGS.get('synthetic_snr') or 0.25)
+        label_noise = float(FLAGS.get('synthetic_label_noise') or 0.0)
+        nb_classes = spec.nb_classes
+
+        # class templates: fixed seed, shared across subsets/processes
+        trng = np.random.default_rng(777)
+        lo = max(4, h // 4), max(4, w // 4)
+        tmpl_lo = trng.standard_normal((nb_classes, lo[0], lo[1], c)).astype(np.float32)
+        # bilinear upsample via separable linear interpolation
+        yi = np.linspace(0, lo[0] - 1, h)
+        xi = np.linspace(0, lo[1] - 1, w)
+        y0 = np.clip(yi.astype(int), 0, lo[0] - 2)
+        x0 = np.clip(xi.astype(int), 0, lo[1] - 2)
+        wy = (yi - y0)[None, :, None, None].astype(np.float32)
+        wx = (xi - x0)[None, None, :, None].astype(np.float32)
+        t = (tmpl_lo[:, y0][:, :, x0] * (1 - wy) * (1 - wx)
+             + tmpl_lo[:, y0 + 1][:, :, x0] * wy * (1 - wx)
+             + tmpl_lo[:, y0][:, :, x0 + 1] * (1 - wy) * wx
+             + tmpl_lo[:, y0 + 1][:, :, x0 + 1] * wy * wx)
+        t -= t.mean(axis=(1, 2, 3), keepdims=True)
+        t /= np.sqrt((t ** 2).mean(axis=(1, 2, 3), keepdims=True)) + 1e-8
+
+        srng = np.random.default_rng(24601 + (0 if self.is_train else 1))
+        labels_clean = srng.integers(0, nb_classes, size=(n,), dtype=np.int32)
+        images = snr * t[labels_clean]
+        # generate noise in chunks to bound peak host memory
+        for beg in range(0, n, 1024):
+            end = min(n, beg + 1024)
+            images[beg:end] += srng.standard_normal(
+                (end - beg, h, w, c), dtype=np.float32)
+        labels = labels_clean
+        if self.is_train and label_noise > 0.0:
+            flip = srng.random(n) < label_noise
+            shift = srng.integers(1, nb_classes, size=(n,), dtype=np.int32)
+            labels = np.where(flip, (labels_clean + shift) % nb_classes,
+                              labels_clean).astype(np.int32)
+        # map to uint8: 1 sigma of noise = 40 counts (3 sigma mostly unclipped)
+        images = np.clip(127.5 + 40.0 * images, 0, 255).astype(np.uint8)
+        return images, labels
 
     # -- pipeline -------------------------------------------------------------
 
@@ -199,20 +274,33 @@ class AbstractDataset(ABC):
             order = np.arange(n)
             if shuffle:
                 rng.shuffle(order)  # the FIRST epoch must be shuffled too
-            if n < batch_size:
-                # tiny process shard: tile so the jitted step's fixed batch
-                # shape holds (short RL finetunes on split datasets hit this)
-                order = np.resize(order, batch_size)
-                n = batch_size
-            pos = 0
-            while True:
-                if pos + batch_size > n:
-                    pos = 0
-                    if shuffle:
+                if n < batch_size:
+                    # tiny process shard: tile so the jitted step's fixed
+                    # batch shape holds (short RL finetunes on split
+                    # datasets hit this) — training only; eval iterators
+                    # cycle seamlessly below so no sample is head-biased
+                    order = np.resize(order, batch_size)
+                    n = batch_size
+                pos = 0
+                while True:
+                    if pos + batch_size > n:
+                        pos = 0
                         rng.shuffle(order)
-                idx = order[pos:pos + batch_size]
-                pos += batch_size
-                yield {'image': images[idx], 'label': labels[idx]}
+                    idx = order[pos:pos + batch_size]
+                    pos += batch_size
+                    yield {'image': images[idx], 'label': labels[idx]}
+            else:
+                # eval: cycle the sequence SEAMLESSLY (batches wrap through
+                # the set, same contract as the native sampler's non-shuffle
+                # path) so run_eval_loop can pick a batch count that covers
+                # every sample an equal number of times — no dropped tail,
+                # no duplicated head
+                pos = 0
+                while True:
+                    idx = np.take(order, np.arange(pos, pos + batch_size),
+                                  mode='wrap')
+                    pos = (pos + batch_size) % n
+                    yield {'image': images[idx], 'label': labels[idx]}
 
         return _Prefetcher(gen, depth=max(2, FLAGS.prefetch_size))
 

@@ -302,10 +302,21 @@ class AbstractLearner(ABC):
             nb_smpls = getattr(self.dataset_eval, 'nb_smpls_loaded',
                                self.dataset_eval.spec.nb_smpls_eval)
             # Each global eval step consumes batch_size samples from EVERY
-            # process's disjoint shard, so the whole set is covered in
-            # nb_smpls / (batch_size * nb_processes) steps.
-            nb_batches = max(1, nb_smpls // (self.dataset_eval.batch_size
-                                             * jax.process_count()))
+            # process's disjoint shard; the iterators cycle the set
+            # seamlessly, so k batches score k*bs*P sample slots.  Pick the
+            # smallest k >= ceil-coverage with k*bs*P an exact multiple of
+            # nb_smpls (searching a bounded window): every sample then
+            # appears exactly k*bs*P/nb_smpls times and the unweighted mean
+            # is unbiased.  Otherwise fall back to ceil coverage (each
+            # sample counted once or twice; strictly better than the old
+            # floor coverage, which silently dropped the tail).
+            per_step = self.dataset_eval.batch_size * jax.process_count()
+            base = max(1, -(-nb_smpls // per_step))
+            nb_batches = base
+            for k in range(base, min(base * 8, base + 64) + 1):
+                if (k * per_step) % nb_smpls == 0:
+                    nb_batches = k
+                    break
         totals: Dict[str, float] = {}
         for _ in range(nb_batches):
             metrics = jax.device_get(eval_step(state, self.put_batch(next(iterator))))
@@ -448,17 +459,35 @@ class AbstractLearner(ABC):
                         tmp.write(chunk)
                 tmp.flush()
                 with tarfile.open(tmp.name) as tar:
+                    # flatten + sanitize: plain files only, by basename,
+                    # never absolute/parent paths; reject colliding
+                    # basenames (two dirs shipping the same file would
+                    # silently overwrite) and bound total extracted bytes
+                    seen = set()
+                    budget = 16 << 30  # 16 GiB: far above any model tarball
                     for member in tar.getmembers():
-                        # flatten + sanitize: extract plain files only, by
-                        # basename, never absolute/parent paths
                         if not member.isfile():
                             continue
                         name = os.path.basename(member.name)
                         if not name or name.startswith('..'):
                             continue
+                        if name in seen:
+                            raise ValueError(
+                                'tarball %s has duplicate basename %r — '
+                                'refusing to silently overwrite' % (url, name))
+                        seen.add(name)
+                        budget -= max(0, member.size)
+                        if budget < 0:
+                            raise ValueError(
+                                'tarball %s exceeds the extraction size '
+                                'bound' % url)
                         src = tar.extractfile(member)
                         with open(os.path.join(save_dir, name), 'wb') as out:
-                            out.write(src.read())
+                            while True:
+                                chunk = src.read(1 << 20)
+                                if not chunk:
+                                    break
+                                out.write(chunk)
             self.log.info('pretrained model fetched from %s into %s',
                           url, save_dir)
         self.auto_barrier()

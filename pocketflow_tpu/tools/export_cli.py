@@ -93,6 +93,11 @@ def main(argv=None):
         flops_before = flops_after = 0.0
         for row in report['layers']:
             fl = row.get('flops')
+            if fl is None and len(row['shape']) == 2:
+                # dense kernels (shrunk by the residual pass when they
+                # consume a pruned producer) are not in conv_layer_specs;
+                # per-sample dense FLOPs = 2*in*out, same convention
+                fl = 2.0 * float(np.prod(row['shape']))
             if fl is None:
                 continue
             new = packed.get(row['layer'] + '/kernel')
@@ -101,6 +106,7 @@ def main(argv=None):
             flops_after += fl * (new.size / old_size if new is not None else 1.0)
         manifest['flops_audit'] = {
             'flops_before': flops_before, 'flops_after': flops_after,
+            'covers': 'conv + dense kernels',
             'reduction': 1.0 - (flops_after / flops_before
                                 if flops_before else 1.0)}
         log.info('residual shrink FLOPs audit: %.3e -> %.3e (-%.1f%%)',

@@ -95,7 +95,7 @@ _ELEMENTWISE = {
     'convert_element_type', 'max', 'min', 'exp', 'log', 'tanh', 'logistic',
     'rsqrt', 'sqrt', 'abs', 'sign', 'floor', 'ceil', 'round', 'clamp',
     'integer_pow', 'pow', 'neg', 'select_n', 'stop_gradient', 'erf',
-    'custom_jvp_call', 'custom_vjp_call', 'copy',
+    'copy',
 }
 _BINARY = {'add', 'sub', 'mul', 'div'}
 
@@ -255,11 +255,35 @@ def capture_conv_graph(model, variables, sample_shape: Sequence[int],
                     param_of[out] = wp
                 continue
 
+            if name in ('custom_jvp_call', 'custom_vjp_call'):
+                # recurse into the primal jaxpr (like the pjit branch) so a
+                # custom-derivative op that mixes the channel axis inside is
+                # analyzed for real instead of assumed elementwise
+                closed_inner = eqn.params.get('call_jaxpr')
+                inner = getattr(closed_inner, 'jaxpr', closed_inner)
+                if inner is not None and len(inner.invars) == len(invals):
+                    for outer, innerv in zip(invals, inner.invars):
+                        if get_prov(outer) is not None:
+                            prov[innerv] = get_prov(outer)
+                        if get_param(outer) is not None:
+                            param_of[innerv] = get_param(outer)
+                    walk(inner)
+                    for outer, innerv in zip(eqn.outvars, inner.outvars):
+                        if get_prov(innerv) is not None:
+                            prov[outer] = get_prov(innerv)
+                        if get_param(innerv) is not None:
+                            param_of[outer] = get_param(innerv)
+                else:
+                    # unknown calling convention: be conservative — protect
+                    # every tracked input so nothing it reads gets shrunk
+                    for src in invals:
+                        protect(get_prov(src))
+                    if out is not None:
+                        prov[out] = BROKEN
+                continue
+
             if name in _ELEMENTWISE:
                 src = invals[0]
-                if name in ('custom_jvp_call', 'custom_vjp_call'):
-                    # approximate: provenance of the first tensor input
-                    pass
                 if get_prov(src) is not None and out is not None:
                     prov[out] = get_prov(src)
                 if get_param(src) is not None and out is not None:
