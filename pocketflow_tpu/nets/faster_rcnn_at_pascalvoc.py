@@ -38,12 +38,20 @@ from pocketflow_tpu.nets.detection import voc_eval
 from pocketflow_tpu.nn import BatchNorm, PFConv, max_pool, relu
 from pocketflow_tpu.nn.layers import PFDense, compression
 
-FLAGS.DEFINE_integer('frcnn_nb_proposals', 64, 'Faster-RCNN: # of proposals kept')
-FLAGS.DEFINE_integer('frcnn_nb_pre_nms', 512, 'Faster-RCNN: top-k before NMS')
+FLAGS.DEFINE_string('frcnn_backbone', 'resnet50',
+                    'Faster-RCNN backbone: resnet18 | resnet34 | resnet50 '
+                    '(real ResNet trunks from nets/resnet.py, matching the '
+                    'reference model family) or `small` (compact trunk for '
+                    'CPU smoke tests)')
+FLAGS.DEFINE_integer('frcnn_nb_proposals', 300,
+                     'Faster-RCNN: # of proposals kept after RPN NMS '
+                     '(reference test-time RPN_POST_NMS_TOP_N = 300)')
+FLAGS.DEFINE_integer('frcnn_nb_pre_nms', 1024, 'Faster-RCNN: top-k before NMS')
 FLAGS.DEFINE_float('frcnn_rpn_nms_threshold', 0.7, 'Faster-RCNN: RPN NMS IoU')
 FLAGS.DEFINE_integer('frcnn_roi_size', 7, 'Faster-RCNN: ROI-align output size')
-FLAGS.DEFINE_integer('frcnn_roi_batch', 32,
-                     'Faster-RCNN: sampled ROI minibatch per image (train)')
+FLAGS.DEFINE_integer('frcnn_roi_batch', 128,
+                     'Faster-RCNN: sampled ROI minibatch per image (train; '
+                     'reference proposal_target_layer batch = 128)')
 FLAGS.DEFINE_float('frcnn_score_threshold', 0.05,
                    'Faster-RCNN: eval detection score threshold')
 FLAGS.DEFINE_float('frcnn_nms_threshold', 0.45,
@@ -59,7 +67,8 @@ RPN_RATIOS = (0.5, 1.0, 2.0)
 
 
 class SmallResNetBackbone(nn.Module):
-    """Compact ResNet-style backbone -> (stride-8, stride-16) feature maps."""
+    """Compact ResNet-style backbone -> (stride-8, stride-16) feature maps
+    (CPU-smoke-test trunk; real runs use ResNetBackbone below)."""
     dtype: object = jnp.bfloat16
 
     @nn.compact
@@ -75,6 +84,52 @@ class SmallResNetBackbone(nn.Module):
         c3 = BasicBlock(128, (2, 2), self.dtype, name='block2')(x, train)  # stride 8
         c4 = BasicBlock(256, (2, 2), self.dtype, name='block3')(c3, train)  # stride 16
         return c3, c4
+
+
+class ResNetBackbone(nn.Module):
+    """Real ResNet trunk (nets/resnet.py blocks) -> (stride-8, stride-16).
+
+    The reference's Faster-RCNN wraps a full ResNet backbone
+    (/root/reference/nets/faster_rcnn_at_pascalvoc.py:471-513 over ~1.4k LoC
+    of vendored ResNet Faster-RCNN code).  This trunk is the ImageNet stem +
+    stages 1-3 of ResNetImageNet with IDENTICAL module names, so a
+    classification checkpoint warm-starts it directly through
+    ModelHelper.warm_start's `backbone/` prefix graft — the TPU-native
+    analogue of the reference's backbone warm-start with var renaming.
+    Returns (C3 stride-8, C4 stride-16) feature maps for the two-level RPN.
+    """
+    resnet_size: int = 50
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        from pocketflow_tpu.nets.resnet import IMAGENET_CONFIGS
+        from pocketflow_tpu.nn.layers import maybe_remat
+        block_cls, stage_sizes = IMAGENET_CONFIGS[self.resnet_size]
+        block_cls = maybe_remat(block_cls)
+        x = PFConv(64, (7, 7), (2, 2), use_bias=False, dtype=self.dtype,
+                   name='conv_init')(x)
+        x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
+        x = relu(x)
+        x = max_pool(x, (3, 3), (2, 2), padding='SAME')      # stride 4
+        feats = []
+        for stage, nb_blocks in enumerate(stage_sizes[:3]):   # stages 1..3
+            width = 64 * (2 ** stage)
+            for block in range(nb_blocks):
+                strides = (2, 2) if (stage > 0 and block == 0) else (1, 1)
+                x = block_cls(width, strides, self.dtype,
+                              name='stage%d_block%d' % (stage + 1, block))(x, train)
+            feats.append(x)
+        return feats[1], feats[2]  # C3 (stride 8), C4 (stride 16)
+
+
+def build_backbone(name: str, dtype) -> nn.Module:
+    if name == 'small':
+        return SmallResNetBackbone(dtype=dtype, name='backbone')
+    if name.startswith('resnet'):
+        return ResNetBackbone(resnet_size=int(name[len('resnet'):]),
+                              dtype=dtype, name='backbone')
+    raise ValueError('unknown frcnn_backbone: %r' % name)
 
 
 def _anchors_for(fsize: int, scales) -> jnp.ndarray:
@@ -99,10 +154,11 @@ class FasterRCNN(nn.Module):
     head scores every proposal.
     """
     nb_classes: int = 21
+    backbone_name: str = 'resnet50'
     dtype: object = jnp.bfloat16
 
     def setup(self):
-        self.backbone = SmallResNetBackbone(dtype=self.dtype, name='backbone')
+        self.backbone = build_backbone(self.backbone_name, self.dtype)
         # FPN-style lateral 1x1 convs bring both levels to a common width so
         # the RPN tower + heads are SHARED across levels
         self.laterals = [PFConv(256, (1, 1), dtype=self.dtype,
@@ -225,7 +281,8 @@ class ModelHelper(AbstractModelHelper):
 
     def create_model(self):
         dtype = jnp.bfloat16 if FLAGS.compute_dtype == 'bfloat16' else jnp.float32
-        return FasterRCNN(nb_classes=self.nb_classes, dtype=dtype)
+        return FasterRCNN(nb_classes=self.nb_classes,
+                          backbone_name=FLAGS.frcnn_backbone, dtype=dtype)
 
     def forward_train(self, model, variables, inputs, policy=None, labels=None):
         """Train forward WITH labels: in-graph target assignment + sampling

@@ -54,7 +54,8 @@ def test_faster_rcnn_forward_and_train_smoke(tmp_path):
     with FLAGS.scope(batch_size=2, batch_size_eval=2, nb_smpls_train=64,
                      nb_smpls_eval=16, nb_epochs_rat=0.01, lrn_rate_init=0.01,
                      voc_image_size=64, nb_bboxs_max=8, loss_w_dcy=0.0,
-                     frcnn_nb_proposals=16, frcnn_nb_pre_nms=64):
+                     frcnn_nb_proposals=16, frcnn_nb_pre_nms=64,
+                     frcnn_roi_batch=32, frcnn_backbone='resnet18'):
         helper = ModelHelper()
         assert helper.forward_w_labels
         learner = FullPrecLearner(None, helper)
@@ -116,3 +117,35 @@ def test_parse_detections_class_specific_boxes():
     np.testing.assert_allclose(dets[0]['box'], [0.1, 0.1, 0.3, 0.3], rtol=1e-6)
     assert dets[1]['class'] == 2
     np.testing.assert_allclose(dets[1]['box'], [0.5, 0.5, 0.9, 0.9], rtol=1e-6)
+
+
+def test_frcnn_resnet_backbone_policies_reach_convs():
+    """The real-ResNet FRCNN exposes its convs to compression policies:
+    conv_layer_specs (the CP family's discovery trace) must see the backbone
+    stages, the lateral/RPN convs — i.e. channel pruning can reach the model
+    (reference faster_rcnn_at_pascalvoc.py:471-513 prunes its ResNet)."""
+    import jax
+    from pocketflow_tpu.learners.channel_pruning.channel_pruner import (
+        conv_layer_specs)
+    from pocketflow_tpu.nets.faster_rcnn_at_pascalvoc import ModelHelper
+    with FLAGS.scope(voc_image_size=64, nb_bboxs_max=4, batch_size=2,
+                     batch_size_eval=2, nb_smpls_train=32, nb_smpls_eval=16,
+                     frcnn_nb_proposals=8, frcnn_nb_pre_nms=32,
+                     frcnn_backbone='resnet18'):
+        helper = ModelHelper()
+        model = helper.create_model()
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(lambda: model.init(
+            jax.random.PRNGKey(0), x, train=False))()
+        specs = conv_layer_specs(model, variables['params'],
+                                 variables.get('batch_stats', {}), x)
+        paths = {s['path'] for s in specs}
+        # ImageNet-stem names (warm-startable from a classification ckpt)
+        assert any('backbone/conv_init' in p for p in paths)
+        assert any('backbone/stage1_block0/conv1' in p for p in paths)
+        assert any('backbone/stage3_block1/conv2' in p for p in paths)
+        assert any('rpn_conv' in p for p in paths)
+        assert any('lateral' in p for p in paths)
+        # resnet18 stages 1-3: 2 blocks each, 2 convs per block (+1 sc per
+        # downsampling stage) + stem + 2 laterals + rpn convs
+        assert len(specs) >= 18
