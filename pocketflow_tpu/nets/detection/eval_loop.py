@@ -4,20 +4,25 @@ One implementation of the iterate/forward/dump/eval protocol for every
 detection helper (reference vgg_at_pascalvoc.py:554-583 — the Faster-RCNN
 wrapper reuses the same scaffold), so batch accounting fixes land once:
 
-* the batch count comes from the samples ACTUALLY loaded on this process
-  (``nb_smpls_loaded`` after build(): the synthetic fallback and process
-  sharding both shrink the set), never from the nominal spec;
+* the batch count comes from the samples ACTUALLY loaded (``nb_smpls_loaded``
+  after build(): the synthetic fallback shrinks the set), never from the
+  nominal spec;
 * whole batches only (floor): the wrap-around iterator would otherwise
   re-dump the first images as duplicate detections/ground truths and skew
-  the mAP.
+  the mAP;
+* under multi-host, per-process detections and ground truths are packed to
+  fixed shapes and allgathered before scoring, so the reported mAP covers
+  the FULL eval set on every process (reference parity: dump_n_eval scores
+  all 4,952 VOC test images, vgg_at_pascalvoc.py:554-583).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pocketflow_tpu.core.metrics import get_logger
 
@@ -37,21 +42,65 @@ def nb_eval_batches(dataset, nb_batches: Optional[int] = None) -> int:
                                * max(1, jax.process_count())))
 
 
+def allgather_detections(detections: List[List[dict]],
+                         groundtruth: List[np.ndarray],
+                         ) -> Tuple[List[List[dict]], List[np.ndarray]]:
+    """Gather per-process detection dumps into the global eval set.
+
+    Detections are variable-length lists of {'class','score','box'} dicts;
+    they are packed into a fixed [n_img, cap, 6] array (cap = global max
+    detections/image, agreed via a scalar allgather), allgathered over
+    processes together with the fixed-shape ground-truth arrays, and
+    unpacked back — the collective replacement for the reference's
+    file-based detection dumps (each rank writing txt files rank 0 scores).
+    """
+    from jax.experimental import multihost_utils
+
+    n_img = len(detections)
+    local_max = max((len(d) for d in detections), default=0)
+    cap = int(np.max(multihost_utils.process_allgather(
+        np.asarray([local_max], np.int32))))
+    cap = max(cap, 1)
+    packed = np.zeros((n_img, cap, 6), np.float32)
+    for i, dets in enumerate(detections):
+        for j, d in enumerate(dets):
+            packed[i, j, 0] = float(d['class'])
+            packed[i, j, 1] = float(d['score'])
+            packed[i, j, 2:6] = np.asarray(d['box'], np.float32)
+    counts = np.asarray([len(d) for d in detections], np.int32)
+    gts = np.stack([np.asarray(g, np.float32) for g in groundtruth])
+
+    g_packed = multihost_utils.process_allgather(packed)    # [P, n_img, cap, 6]
+    g_counts = multihost_utils.process_allgather(counts)    # [P, n_img]
+    g_gts = multihost_utils.process_allgather(gts)          # [P, n_img, M, 6]
+
+    all_dets: List[List[dict]] = []
+    all_gts: List[np.ndarray] = []
+    for p in range(g_packed.shape[0]):
+        for i in range(n_img):
+            dets = []
+            for j in range(int(g_counts[p, i])):
+                row = np.asarray(g_packed[p, i, j])
+                dets.append({'class': int(row[0]), 'score': float(row[1]),
+                             'box': row[2:6].copy()})
+            all_dets.append(dets)
+            all_gts.append(np.asarray(g_gts[p, i]))
+    return all_dets, all_gts
+
+
 def run_detection_eval(helper, model, state, dataset, forward_fn,
                        nb_batches: Optional[int] = None):
     """Drive dump_n_eval over the eval set; returns the mAP result dict.
 
     `forward_fn(variables, images)` is the eval forward; its output is passed
-    to ``helper.dump_n_eval((output, labels), 'dump')``.
-    Multi-host note: detections are process-local, so the reported mAP is
-    over this process's shard (a warning is logged; cross-process detection
-    gathering is out of scope).
+    to ``helper.dump_n_eval((output, labels), 'dump')``.  The dump_n_eval
+    protocol stores per-image results in ``helper._detections`` /
+    ``helper._groundtruth`` (both detection helpers share this contract);
+    under multi-host those are allgathered before 'eval' so the mAP is
+    global.
     """
     iterator = dataset.build()  # build first: it sets nb_smpls_loaded
     nb = nb_eval_batches(dataset, nb_batches)
-    if jax.process_count() > 1:
-        log.warning('detection eval is process-local: mAP covers this '
-                    "process's shard only")
     helper.dump_n_eval(action='init')
     fwd = jax.jit(forward_fn)
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
@@ -61,4 +110,7 @@ def run_detection_eval(helper, model, state, dataset, forward_fn,
                                  jax.random.PRNGKey(0), False)
         out = fwd(variables, images)
         helper.dump_n_eval((out, batch['label']), 'dump')
+    if jax.process_count() > 1:
+        helper._detections, helper._groundtruth = allgather_detections(
+            helper._detections, helper._groundtruth)
     return helper.dump_n_eval(action='eval')
