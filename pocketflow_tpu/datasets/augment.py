@@ -66,42 +66,51 @@ def _bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
 def random_crop_resize(images: jax.Array, rng: jax.Array,
                        out_size: Tuple[int, int],
                        area_range: Tuple[float, float] = (0.08, 1.0),
-                       aspect_range: Tuple[float, float] = (3 / 4, 4 / 3)
-                       ) -> jax.Array:
+                       aspect_range: Tuple[float, float] = (3 / 4, 4 / 3),
+                       valid_hw: jax.Array = None) -> jax.Array:
     """Inception-style random area + ASPECT-RATIO distorted crop, bilinear
     resize (train preproc; reference `sample_distorted_bounding_box` with
     aspect_ratio_range=(0.75, 1.33), area_range=(0.08, 1.0) in
     utils/external's imagenet preprocessing).
 
     Fixed-shape redesign: per-sample (area, log-uniform aspect) -> rectangular
-    crop window clamped inside the stored image, realized as a bilinear
-    gather grid.  (The stored shards are pre-cropped squares, so gt-bbox
-    conditioning of the reference's sampler is not available — the converter
-    records no boxes for classification data; the aspect + area distortion is
-    the component that matters for augmentation diversity.)
+    crop window clamped inside the VALID image extent, realized as a bilinear
+    gather grid.  ``valid_hw`` [B, 2] float (valid height, valid width) comes
+    from the full-frame shard storage (tools/convert_ilsvrc12.py): windows
+    then range over the ENTIRE original frame — the same reachable crop space
+    as the reference's Inception sampler.  Without it, the whole stored
+    array is the frame.
     """
     batch, height, width, _ = images.shape
     k_area, k_aspect, k_oy, k_ox = jax.random.split(rng, 4)
+    if valid_hw is None:
+        vh = jnp.full((batch,), float(height), jnp.float32)
+        vw = jnp.full((batch,), float(width), jnp.float32)
+    else:
+        vh = jnp.clip(valid_hw[:, 0].astype(jnp.float32), 2.0, float(height))
+        vw = jnp.clip(valid_hw[:, 1].astype(jnp.float32), 2.0, float(width))
     area = jax.random.uniform(k_area, (batch,), minval=area_range[0],
                               maxval=area_range[1])
     log_ar = jax.random.uniform(
         k_aspect, (batch,), minval=jnp.log(aspect_range[0]),
         maxval=jnp.log(aspect_range[1]))
     aspect = jnp.exp(log_ar)   # w / h
-    # crop box in pixels, clamped to the stored image
-    crop_h = jnp.sqrt(area * height * width / aspect)
+    # crop box in pixels, clamped to the valid frame
+    crop_h = jnp.sqrt(area * vh * vw / aspect)
     crop_w = crop_h * aspect
-    crop_h = jnp.clip(crop_h, 8.0, float(height))
-    crop_w = jnp.clip(crop_w, 8.0, float(width))
-    offy = jax.random.uniform(k_oy, (batch,)) * (height - crop_h)
-    offx = jax.random.uniform(k_ox, (batch,)) * (width - crop_w)
+    crop_h = jnp.clip(crop_h, 8.0, vh)
+    crop_w = jnp.clip(crop_w, 8.0, vw)
+    offy = jax.random.uniform(k_oy, (batch,)) * (vh - crop_h)
+    offx = jax.random.uniform(k_ox, (batch,)) * (vw - crop_w)
 
     ry = jnp.arange(out_size[0], dtype=jnp.float32) / out_size[0]
     rx = jnp.arange(out_size[1], dtype=jnp.float32) / out_size[1]
 
     def crop_resize_one(img, oy, ox, ch, cw):
-        ys = oy + ry * ch
-        xs = ox + rx * cw
+        # sample strictly inside [oy, oy+ch-1]: the gather never blends
+        # zero-padding beyond a sample's valid extent
+        ys = oy + ry * jnp.maximum(ch - 1.0, 1.0)
+        xs = ox + rx * jnp.maximum(cw - 1.0, 1.0)
         return _bilinear_sample(img, ys, xs)
 
     out = jax.vmap(crop_resize_one)(images, offy, offx, crop_h, crop_w)
@@ -110,15 +119,32 @@ def random_crop_resize(images: jax.Array, rng: jax.Array,
 
 
 def center_crop_resize(images: jax.Array, out_size: Tuple[int, int],
-                       crop_frac: float = 0.875) -> jax.Array:
+                       crop_frac: float = 0.875,
+                       valid_hw: jax.Array = None) -> jax.Array:
     """Eval preproc: central crop (fraction) + bilinear resize (reference's
-    87.5% central_fraction eval path)."""
+    87.5% central_fraction eval path).  ``valid_hw`` [B, 2] restricts the
+    central crop to each sample's valid extent (full-frame shard storage)."""
     batch, height, width, _ = images.shape
-    side = min(height, width) * crop_frac
-    offy, offx = (height - side) / 2.0, (width - side) / 2.0
-    ys = offy + jnp.arange(out_size[0], dtype=jnp.float32) / out_size[0] * side
-    xs = offx + jnp.arange(out_size[1], dtype=jnp.float32) / out_size[1] * side
-    out = jax.vmap(lambda img: _bilinear_sample(img, ys, xs))(images)
+    ry = jnp.arange(out_size[0], dtype=jnp.float32) / out_size[0]
+    rx = jnp.arange(out_size[1], dtype=jnp.float32) / out_size[1]
+    if valid_hw is None:
+        side = min(height, width) * crop_frac
+        offy, offx = (height - side) / 2.0, (width - side) / 2.0
+        ys = offy + ry * side
+        xs = offx + rx * side
+        out = jax.vmap(lambda img: _bilinear_sample(img, ys, xs))(images)
+    else:
+        vh = jnp.clip(valid_hw[:, 0].astype(jnp.float32), 2.0, float(height))
+        vw = jnp.clip(valid_hw[:, 1].astype(jnp.float32), 2.0, float(width))
+        side = jnp.minimum(vh, vw) * crop_frac
+        offy, offx = (vh - side) / 2.0, (vw - side) / 2.0
+
+        def crop_one(img, oy, ox, s):
+            ys = oy + ry * jnp.maximum(s - 1.0, 1.0)
+            xs = ox + rx * jnp.maximum(s - 1.0, 1.0)
+            return _bilinear_sample(img, ys, xs)
+
+        out = jax.vmap(crop_one)(images, offy, offx, side)
     return out.astype(images.dtype) if images.dtype != jnp.uint8 \
         else jnp.clip(out, 0, 255).astype(jnp.uint8)
 

@@ -39,6 +39,7 @@ class Ilsvrc12Dataset(AbstractDataset):
         if data_dir and os.path.isdir(data_dir):
             img_shards = sorted(glob.glob(os.path.join(data_dir, '%s_images_*.npy' % subset)))
             lbl_shards = sorted(glob.glob(os.path.join(data_dir, '%s_labels_*.npy' % subset)))
+            ext_shards = sorted(glob.glob(os.path.join(data_dir, '%s_extents_*.npy' % subset)))
             if img_shards:
                 # Stream rows out of the shard files — NEVER concatenate into
                 # RAM (the real train set is ~190 GB).  ShardedView + the
@@ -52,19 +53,46 @@ class Ilsvrc12Dataset(AbstractDataset):
                     raise ValueError(
                         'ILSVRC-12 shard mismatch: %d images vs %d labels'
                         % (len(images), len(labels)))
+                if ext_shards:
+                    # full-frame storage: ride the per-sample valid extents
+                    # along in a packed [n, 3] float label row (the native
+                    # sampler streams any label_floats); augment_batch
+                    # unpacks them on device
+                    extents = np.concatenate(
+                        [np.load(p) for p in ext_shards]).astype(np.float32)
+                    if len(extents) != len(images):
+                        raise ValueError('ILSVRC-12 extents mismatch')
+                    labels = np.concatenate(
+                        [labels[:, None].astype(np.float32), extents], axis=1)
                 return images, labels
         return self.synthesize_arrays(nb_smpls=2048)
 
+    def augment_batch(self, batch, rng, is_train):
+        """Unpack [class, valid_h, valid_w] labels (full-frame shards) and
+        crop within each sample's valid extent; plain labels pass through."""
+        import jax.numpy as jnp
+        label = batch['label']
+        if label.ndim == 2 and label.shape[1] == 3:
+            valid_hw = label[:, 1:3]
+            images = self._augment_images(batch['image'], rng, is_train, valid_hw)
+            return {**batch, 'image': images,
+                    'label': label[:, 0].astype(jnp.int32)}
+        return {**batch, 'image': self.augment(batch['image'], rng, is_train)}
+
     def augment(self, images, rng, is_train):
+        return self._augment_images(images, rng, is_train, None)
+
+    def _augment_images(self, images, rng, is_train, valid_hw):
+        out_hw = self.spec.image_shape[:2]
         if is_train:
             import jax
             k_crop, k_flip = jax.random.split(rng)
-            out_hw = self.spec.image_shape[:2]
-            if images.shape[1:3] != tuple(out_hw):
-                images = augment.random_crop_resize(images, k_crop, out_hw)
+            if images.shape[1:3] != tuple(out_hw) or valid_hw is not None:
+                images = augment.random_crop_resize(images, k_crop, out_hw,
+                                                    valid_hw=valid_hw)
             images = augment.random_flip_lr(images, k_flip)
         else:
-            out_hw = self.spec.image_shape[:2]
-            if images.shape[1:3] != tuple(out_hw):
-                images = augment.center_crop_resize(images, out_hw)
+            if images.shape[1:3] != tuple(out_hw) or valid_hw is not None:
+                images = augment.center_crop_resize(images, out_hw,
+                                                    valid_hw=valid_hw)
         return augment.normalize(images, IMAGENET_MEAN, IMAGENET_STD)

@@ -56,31 +56,42 @@ def _decode_jpeg(buf: bytes):
 
 def convert_ilsvrc12_tfrecords(src_glob: str, dst_dir: str, subset: str,
                                resize: int = 256,
-                               shard_size: int = 8192) -> int:
+                               shard_size: int = 8192,
+                               full_frame: bool = True) -> int:
     """Inception-schema ImageNet TFRecords -> `<subset>_{images,labels}_N.npy`
     shards (labels stay 1-based with 0 = background, the reference's
-    convention, ilsvrc12_dataset.py:54)."""
+    convention, ilsvrc12_dataset.py:54).  full_frame (default) keeps the
+    whole frame in a fixed padded container + `<subset>_extents_N.npy`, so
+    on-device crops reach the full frame like the reference's Inception
+    preprocessing."""
     os.makedirs(dst_dir, exist_ok=True)
-    shard_idx, buf_imgs, buf_lbls, total = 0, [], [], 0
+    shard_idx, buf_imgs, buf_lbls, buf_ext, total = 0, [], [], [], 0
     for example in _iter_examples(src_glob):
         feat = example.features.feature
         try:
-            img = process_pil_image(
+            loaded = process_pil_image(
                 _decode_jpeg(feat['image/encoded'].bytes_list.value[0]),
-                resize)
+                resize, full_frame=full_frame)
             label = int(feat['image/class/label'].int64_list.value[0])
         except Exception as exc:  # corrupt record: skip, keep converting
             print('skip record: %s' % exc, file=sys.stderr)
             continue
+        if full_frame:
+            img, vh, vw = loaded
+            buf_ext.append((vh, vw))
+        else:
+            img = loaded
         buf_imgs.append(img)
         buf_lbls.append(label)
         if len(buf_imgs) >= shard_size:
-            _flush(dst_dir, subset, shard_idx, buf_imgs, buf_lbls)
+            _flush(dst_dir, subset, shard_idx, buf_imgs, buf_lbls,
+                   buf_ext if full_frame else None)
             total += len(buf_imgs)
             shard_idx += 1
-            buf_imgs, buf_lbls = [], []
+            buf_imgs, buf_lbls, buf_ext = [], [], []
     if buf_imgs:
-        _flush(dst_dir, subset, shard_idx, buf_imgs, buf_lbls)
+        _flush(dst_dir, subset, shard_idx, buf_imgs, buf_lbls,
+               buf_ext if full_frame else None)
         total += len(buf_imgs)
     return total
 
