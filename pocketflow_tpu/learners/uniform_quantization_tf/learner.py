@@ -238,3 +238,16 @@ class UniformQuantTFLearner(AbstractLearner):
         if restored is None:
             raise FileNotFoundError('no checkpoint found under ' + FLAGS.uqtf_save_path)
         return self.run_eval_loop(restored, self.build_qat_eval_step())
+
+    def export_quant_spec(self, state: TrainState) -> Dict:
+        """Trained quantization spec for deployment export: the EMA
+        activation ranges + weight sites/bits the int8 TFLite artifact must
+        embed (tools/export_tflite.build_qat_deploy_forward; reference
+        export_quant_tflite_model.py carries the graph's FakeQuant ranges
+        into the flatbuffer)."""
+        extra = jax.device_get(state.extra)
+        return {'weight_paths': list(self.statistics['weight_paths']),
+                'act_min': np.asarray(extra['act_min'], np.float32),
+                'act_max': np.asarray(extra['act_max'], np.float32),
+                'weight_bits': int(FLAGS.uqtf_weight_bits),
+                'act_bits': int(FLAGS.uqtf_activation_bits)}

@@ -39,7 +39,10 @@ def main(argv=None):
     FLAGS.DEFINE_string('tflite_mode', 'none',
                         "also write a .tflite artifact: 'none' | 'float' | "
                         "'dynamic' (int8 weights) | 'int8' (full integer, "
-                        "calibrated on the sample batch)")
+                        "calibrated on the sample batch) | 'int8-qat' (full "
+                        "integer carrying the uqtf learner's TRAINED "
+                        "fake-quant ranges from the checkpoint; the "
+                        "self-check runs against the QAT eval forward)")
     FLAGS.DEFINE_boolean('export_saved_model', False,
                          "also write a TF SavedModel at '<output>_saved' "
                          "(the reference's frozen-.pb serving artifact)")
@@ -183,10 +186,38 @@ def main(argv=None):
                                       FLAGS.output_path + '_saved')
     if FLAGS.tflite_mode != 'none':
         from pocketflow_tpu.tools import export_tflite as tflite_lib
-        quantize = {'float': 'none'}.get(FLAGS.tflite_mode, FLAGS.tflite_mode)
+        quantize = {'float': 'none', 'int8-qat': 'int8'}.get(
+            FLAGS.tflite_mode, FLAGS.tflite_mode)
+        qat_spec = None
+        if FLAGS.tflite_mode == 'int8-qat':
+            # rebuild the uqtf learner's site table and restore its trained
+            # EMA activation ranges from the checkpoint's extra tree
+            from pocketflow_tpu.learners.uniform_quantization import utils as uq
+            with FLAGS.scope(uql_quantize_all_layers=True):
+                stats = uq.discover_quant_sites(serving_model, serving_vars,
+                                                sample)
+            nb_acts = stats['nb_activations']
+            try:
+                fields = ckpt_lib.restore_fields(FLAGS.ckpt_path, {
+                    'extra': {'act_min': np.zeros(nb_acts, np.float32),
+                              'act_max': np.full(nb_acts, 6.0, np.float32)}})
+            except (KeyError, ValueError, TypeError):
+                fields = None
+            if fields is None or fields.get('extra') is None:
+                raise ValueError(
+                    'int8-qat export needs a uniform-tf checkpoint with '
+                    'trained activation ranges (extra.act_min/act_max); '
+                    'none found next to ' + FLAGS.ckpt_path)
+            qat_spec = {
+                'weight_paths': stats['weight_paths'],
+                'act_min': np.asarray(fields['extra']['act_min']),
+                'act_max': np.asarray(fields['extra']['act_max']),
+                'weight_bits': int(FLAGS.uqtf_weight_bits),
+                'act_bits': int(FLAGS.uqtf_activation_bits)}
         tfl_path = tflite_lib.export_tflite(
             serving_model, serving_vars, sample, FLAGS.output_path,
-            quantize=quantize, input_uint8=(quantize == 'int8'))
+            quantize=quantize, input_uint8=(quantize == 'int8'),
+            qat_spec=qat_spec)
         if FLAGS.tflite_latency:
             with open(tfl_path, 'rb') as fin:
                 tflite_lib.measure_latency(fin.read())

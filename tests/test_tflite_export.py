@@ -99,3 +99,66 @@ def test_tflite_latency_protocol(small_model):
     blob = tfl.convert_to_tflite(model, variables, images, quantize='none')
     res = tfl.measure_latency(blob, nb_warmup=2, nb_timed=5)
     assert res['mean_ms'] > 0.0 and res['p50_ms'] > 0.0
+
+
+@pytest.mark.slow
+def test_int8_qat_export_carries_trained_ranges(tmp_path):
+    """VERDICT r2 #2: the int8 artifact must reproduce the QAT eval path,
+    not a PTQ re-calibration of the float model.  Trains a tiny uqtf
+    learner, TIGHTENS its activation ranges (so the trained ranges visibly
+    clip the function), and asserts the int8 interpreter follows the QAT
+    forward while diverging from the float forward."""
+    import jax.numpy as jnp
+    from pocketflow_tpu.config import FLAGS
+    from pocketflow_tpu.learners import create_learner
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+    from pocketflow_tpu.tools import export_tflite as tfl
+    with FLAGS.scope(synthetic_data=True, compute_dtype='float32',
+                     rand_seed=0, batch_size=8, batch_size_eval=32,
+                     nb_smpls_train=512, nb_smpls_eval=128,
+                     nb_epochs_rat=0.2, lrn_rate_init=0.05,
+                     uql_quant_epochs=10, uqtf_quant_delay=0,
+                     summ_step=10**6, save_step=10**6,
+                     save_path=str(tmp_path / 'models' / 'model.ckpt'),
+                     uqtf_save_path=str(tmp_path / 'uqtf' / 'model.ckpt'),
+                     log_dir=str(tmp_path / 'logs')):
+        create_learner(None, ModelHelper(), learner_name='full-prec').train()
+        learner = create_learner(None, ModelHelper(), learner_name='uniform-tf')
+        state = learner.train()
+        # tighten ranges: the QAT function must now clip hard
+        extra = jax.device_get(state.extra)
+        state = state.replace(extra={
+            'act_min': jnp.asarray(extra['act_min']),
+            'act_max': jnp.asarray(np.minimum(np.asarray(extra['act_max']),
+                                              0.8))})
+        qat_spec = learner.export_quant_spec(state)
+
+        it = learner.dataset_eval.build()
+        batch = next(it)
+        sample = np.asarray(jax.device_get(learner.dataset_eval.augment(
+            jnp.asarray(batch['image']), jax.random.PRNGKey(0), False)),
+            np.float32)
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        _, qat_ref = tfl.build_qat_deploy_forward(learner.model, variables,
+                                                  qat_spec)
+        ref_qat = np.asarray(jax.device_get(jax.jit(qat_ref)(sample)))
+        ref_float = np.asarray(jax.device_get(jax.jit(
+            lambda x: learner.model.apply(jax.device_get(variables), x,
+                                          train=False))(sample)))
+        clip_effect = float(np.abs(ref_qat - ref_float).max())
+        assert clip_effect > 0.5, clip_effect  # the ranges genuinely bite
+
+        path = tfl.export_tflite(learner.model, variables, sample,
+                                 str(tmp_path / 'model_qat'),
+                                 quantize='int8', qat_spec=qat_spec)
+        with open(path, 'rb') as fin:
+            out = tfl.run_tflite(fin.read(), sample)
+        d_qat = float(np.abs(out - ref_qat).max())
+        d_float = float(np.abs(out - ref_float).max())
+        scale = float(np.abs(ref_qat).max())
+        # faithful to the TRAINED quantization: close to QAT eval, far from
+        # the float model (which a range-discarding PTQ export would track)
+        assert d_qat < 0.05 * scale + 0.05, (d_qat, scale)
+        assert d_float > 5 * d_qat, (d_float, d_qat)
+        assert (out.argmax(-1) == ref_qat.argmax(-1)).mean() == 1.0
