@@ -108,3 +108,85 @@ def test_ws_search_avoids_eval_set_and_resumes(tmp_path):
         ratios = dict(pairs)
         for path, ratio in pairs2:
             assert ratio == pytest.approx(ratios[path], abs=1e-6)
+
+
+@pytest.mark.slow
+def test_ws_search_killed_mid_search_recovers(tmp_path):
+    """Kill-mid-search drill (VERDICT r2 #9): a search process SIGKILL-dies
+    (os._exit, no cleanup) right after its 2nd roll-out checkpoint; a fresh
+    process must resume at roll-out #2 and finish the remaining roll-outs
+    from the recovered agent state."""
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = textwrap.dedent('''
+        import os, sys
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax; jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, %(repo)r)
+        import pocketflow_tpu
+        from pocketflow_tpu.config import FLAGS
+        FLAGS.override(synthetic_data=True, compute_dtype="float32",
+                       rand_seed=0, batch_size=16, nb_smpls_train=256,
+                       nb_smpls_eval=64, nb_smpls_val=64, batch_size_eval=16,
+                       nb_epochs_rat=0.01, lrn_rate_init=0.05,
+                       ws_prune_ratio=0.5, ws_prune_ratio_prtl="optimal",
+                       ws_nb_rlouts=4, ws_nb_rlouts_min=1, ws_nb_iters_rg=1,
+                       ws_nb_iters_ft=1, ws_nb_iters_feval=1,
+                       enbl_native_loader=False,
+                       save_path=%(save)r, ws_save_path=%(ws_save)r,
+                       log_dir=%(log)r)
+        from pocketflow_tpu.learners.weight_sparsification.learner import \\
+            WeightSparseLearner
+        from pocketflow_tpu.learners.weight_sparsification.pr_optimizer import \\
+            PROptimizer
+        from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+        from pocketflow_tpu.rl_agents.ddpg.agent import DdpgAgent
+        nb_saves = [0]
+        orig = DdpgAgent.save_search
+        def dying_save(self, path, extras=None):
+            orig(self, path, extras)
+            nb_saves[0] += 1
+            if nb_saves[0] == 2:
+                os._exit(9)    # hard death mid-search, no cleanup
+        DdpgAgent.save_search = dying_save
+        learner = WeightSparseLearner(None, ModelHelper())
+        state, _, _ = learner.init_state()
+        PROptimizer(learner).run(full_params=state.params,
+                                 batch_stats=state.batch_stats)
+        os._exit(1)  # must never get here
+    ''') % {'repo': repo, 'save': str(tmp_path / 'models' / 'model.ckpt'),
+            'ws_save': str(tmp_path / 'models_ws' / 'model.ckpt'),
+            'log': str(tmp_path / 'logs')}
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    proc = subprocess.run([sys.executable, '-c', child], env=env,
+                          capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 9, proc.stderr[-2000:]
+    search_path = str(tmp_path / 'models_ws' / 'ddpg_search.npz')
+    assert os.path.exists(search_path)
+    assert int(np.load(search_path)['x_idx_rlout']) == 1  # died after rlout 1
+
+    # resume in-process: must pick up at roll-out #2 and complete all 4
+    from pocketflow_tpu.learners.weight_sparsification.learner import \
+        WeightSparseLearner
+    from pocketflow_tpu.learners.weight_sparsification.pr_optimizer import \
+        PROptimizer
+    with FLAGS.scope(synthetic_data=True, compute_dtype='float32',
+                     rand_seed=0, batch_size=16, nb_smpls_train=256,
+                     nb_smpls_eval=64, nb_smpls_val=64, batch_size_eval=16,
+                     nb_epochs_rat=0.01, lrn_rate_init=0.05,
+                     ws_prune_ratio=0.5, ws_prune_ratio_prtl='optimal',
+                     ws_nb_rlouts=4, ws_nb_rlouts_min=1, ws_nb_iters_rg=1,
+                     ws_nb_iters_ft=1, ws_nb_iters_feval=1,
+                     save_path=str(tmp_path / 'models' / 'model.ckpt'),
+                     ws_save_path=str(tmp_path / 'models_ws' / 'model.ckpt')):
+        learner = WeightSparseLearner(None, _convnet_helper())
+        state, _, _ = learner.init_state()
+        pairs = PROptimizer(learner).run(full_params=state.params,
+                                         batch_stats=state.batch_stats)
+        assert pairs and all(0.0 <= r <= 1.0 for _, r in pairs)
+    # the recovered search ran roll-outs 2..3 on top of the checkpoint
+    assert int(np.load(search_path)['x_idx_rlout']) == 3
