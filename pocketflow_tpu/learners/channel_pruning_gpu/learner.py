@@ -23,11 +23,14 @@ each layer's independent gradient, and per-layer learning rates / percentile
 schedules ride in as traced [L] vectors from the host.  1000 dispatches
 total instead of 1000 x L.
 
-Scope note: the fixed-lr Adam reconstruction (reference :385-392 semantics)
-assumes BN-normalized networks — BN absorbs the uniform per-weight kick of
-Adam's first steps.  On BN-free backbones (VGG-SSD) those kicks compound
-multiplicatively and the reconstruction diverges; use the LASSO `channel`
-learner for such models (as the reference does for detection).
+The reconstruction phase (reference :385-392) uses a SCALE-INVARIANT Adam:
+the per-tensor update is ``cpg_lrn_rate_adam * rms(w) * adam_direction``, so
+each step moves a kernel by at most ~lr of its own RMS.  A fixed absolute lr
+(the reference's plain Adam) silently assumes BN-normalized activations —
+on BN-free backbones (VGG-SSD) a 1e-2 absolute kick on small-magnitude
+kernels is a multi-x relative change whose output error compounds through
+the depth; relative stepping removes the restriction so CPG works on
+detection backbones too.
 """
 
 from __future__ import annotations
@@ -122,10 +125,29 @@ class ChannelPrunedGpuLearner(AbstractLearner):
         augment = self.dataset_train.augment
         model_name = helper.model_name
         path_index = {p: i for i, p in enumerate(paths)}
-        tx_adam = optax.adam(FLAGS.cpg_lrn_rate_adam)
 
         # module paths of the prunable kernels, in `paths` order
         module_paths = [p[:-len('/kernel')] for p in paths]
+
+        def relative_adam(lr: float) -> optax.GradientTransformation:
+            """Adam direction scaled by lr * per-tensor weight RMS: each step
+            is a bounded RELATIVE change, making the reconstruction
+            backbone-scale-invariant (works on BN-free nets)."""
+            base = optax.scale_by_adam()
+
+            def update(grads, opt_state, params):
+                updates, opt_state = base.update(grads, opt_state, params)
+
+                def scale(u, p):
+                    rms = jnp.sqrt(jnp.mean(jnp.square(p.astype(jnp.float32))))
+                    return (-lr * jnp.maximum(rms, 1e-4)
+                            * u.astype(jnp.float32)).astype(u.dtype)
+
+                return jax.tree_util.tree_map(scale, updates, params), opt_state
+
+            return optax.GradientTransformation(base.init, update)
+
+        tx_adam = relative_adam(FLAGS.cpg_lrn_rate_adam)
 
         def reg_losses_and_grads(fparams, fbstats, pruned):
             """Per-layer reg losses [L] (aligned with `paths`) + summed loss."""

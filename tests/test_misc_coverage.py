@@ -328,14 +328,14 @@ def test_distillation_restores_orbax_teacher(tmp_path):
 
 
 @pytest.mark.slow
-def test_channel_pruning_on_ssd_detection(tmp_path):
-    """BASELINE config #5: detection + channel pruning (the reference's
-    LASSO `channel` learner on SSD kernels) prunes per-layer at the target
-    ratio and evals finite.  (The CPG learner's fixed-lr Adam reconstruction
-    assumes BN-normalized nets and diverges on the BN-free VGG — use the
-    LASSO learner for detection, like the reference does.)"""
-    from pocketflow_tpu.learners.channel_pruning.learner import \
-        ChannelPrunedLearner
+@pytest.mark.parametrize('learner_name', ['channel', 'chn-pruned-gpu'])
+def test_channel_pruning_on_ssd_detection(tmp_path, learner_name):
+    """BASELINE config #5: detection + channel pruning on SSD kernels prunes
+    per-layer at the target ratio and evals finite — with BOTH the LASSO
+    `channel` learner and the PGD `chn-pruned-gpu` learner (whose
+    scale-invariant Adam reconstruction works on the BN-free VGG backbone;
+    VERDICT r2 #5)."""
+    from pocketflow_tpu.learners import create_learner
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
     from pocketflow_tpu.learners.weight_sparsification import masking
     from pocketflow_tpu.nets.vgg_at_pascalvoc import ModelHelper
@@ -346,13 +346,19 @@ def test_channel_pruning_on_ssd_detection(tmp_path):
                      cp_uniform_preserve_ratio=0.6, cp_nb_batches=2,
                      cp_nb_points_per_layer=4, cp_nb_iters_ft_ratio=0.1,
                      cp_lasso_nb_iters=60,
+                     cpg_prune_ratio=0.4, cpg_skip_ht_layers=True,
+                     cpg_nb_iters_layer=24,
                      save_path=str(tmp_path / 'base' / 'model.ckpt'),
-                     cp_channel_pruned_path=str(tmp_path / 'cp' / 'model.ckpt')):
+                     cp_channel_pruned_path=str(tmp_path / 'cp' / 'model.ckpt'),
+                     cpg_save_path=str(tmp_path / 'cpg' / 'model.ckpt')):
         base = FullPrecLearner(None, ModelHelper())
         base.train()
-        learner = ChannelPrunedLearner(None, ModelHelper())
+        learner = create_learner(None, ModelHelper(), learner_name=learner_name)
         state = learner.train()
-        metrics = learner.run_eval_loop(state, learner.build_eval_step())
+        eval_step = (learner.build_pruned_eval_step()
+                     if learner_name == 'chn-pruned-gpu'
+                     else learner.build_eval_step())
+        metrics = learner.run_eval_loop(state, eval_step)
         assert np.isfinite(metrics['loss']), metrics
         pr = float(jax.device_get(masking.calc_prune_ratio(
             state.params, maskable_only=True)))
