@@ -158,7 +158,9 @@ def capture_conv_graph(model, variables, sample_shape: Sequence[int],
             invals = eqn.invars
             out = eqn.outvars[0] if eqn.outvars else None
 
-            if name == 'pjit' or name == 'closed_call':
+            if name in ('pjit', 'jit', 'closed_call'):
+                # ('jit' is the pjit primitive's name in current JAX; relu's
+                # custom_jvp call_jaxpr wraps its body in one)
                 inner = eqn.params['jaxpr'].jaxpr
                 for outer, innerv in zip(invals, inner.invars):
                     if get_prov(outer) is not None:

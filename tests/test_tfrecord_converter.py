@@ -51,14 +51,25 @@ def test_convert_ilsvrc12_tfrecords(tmp_path):
                                           resize=64, shard_size=2)
     assert total == 3
     names = sorted(os.listdir(out))
-    assert names == ['train_images_00000.npy', 'train_images_00001.npy',
+    assert names == ['train_extents_00000.npy', 'train_extents_00001.npy',
+                     'train_images_00000.npy', 'train_images_00001.npy',
                      'train_labels_00000.npy', 'train_labels_00001.npy']
+    # full-frame storage: each sample records its valid (h, w) extent inside
+    # the fixed padded container (3dfb819 - Inception-preprocessing crop space)
+    extents = np.concatenate([np.load(os.path.join(out, n))
+                              for n in names if 'extents' in n])
+    assert extents.shape == (3, 2)
+    imgs0 = np.load(os.path.join(out, 'train_images_00000.npy'))
+    assert (extents <= imgs0.shape[1:3]).all() and (extents > 0).all()
     with FLAGS.scope(data_dir_local=out, synthetic_data=False,
                      nb_smpls_train=3, batch_size=2):
         ds = Ilsvrc12Dataset(is_train=True)
         images, labels = ds._load_arrays()
-    assert images.shape == (3, 64, 64, 3) and images.dtype == np.uint8
-    np.testing.assert_array_equal(np.sort(np.asarray(labels).ravel()),
+    assert images.dtype == np.uint8 and images.shape[0] == 3
+    labels = np.asarray(labels)
+    if labels.ndim == 2:  # full-frame storage rides extents in labels[:, 1:3]
+        labels = labels[:, 0]
+    np.testing.assert_array_equal(np.sort(labels.astype(np.int64).ravel()),
                                   [1, 2, 3])
 
 
