@@ -1,13 +1,27 @@
-"""Synthetic accuracy-parity sweep: every learner on ResNet-20 @ CIFAR-10.
+"""Accuracy-parity sweep: every learner on ResNet-20 over the NON-SATURATING
+hard synthetic task (noisy template classification, --synthetic_task=hard).
 
-BASELINE.md's accuracy tables need the real datasets (not mounted in this
-environment); this sweep is the closest in-container proxy: the synthetic
-CIFAR fallback is learnable (class-conditioned patterns), so a correct
-compression pipeline must (a) train to high accuracy and (b) hold it under
-compression at the reference's published operating points (75% sparsity,
-50% channels, 4/8-bit weights).
+The reference's parity evidence is compressed-model accuracy on real
+CIFAR/ILSVRC/VOC (/root/reference/docs/docs/performance.md:9-48); with no
+datasets mounted, this harness is the in-container substitute — and unlike a
+saturating task it can FAIL: the full-precision baseline lands mid-range
+(~0.80 at snr=0.18), so any compression bug shows up as a measurable
+accuracy delta.  Operating points follow the reference's tables: WS sparsity
+50/75/90/95%, UQ/NUQ 4+8-bit, uqtf 8/8, all four channel-pruning families at
+50% FLOPs.
 
-    python experiments/synthetic_parity.py          # ~10 min on one chip
+Each point carries a LOCKED max-delta band (measured on-chip 2026-08-17 with
+~2x headroom over seed noise); `--check` makes the run exit nonzero if any
+point leaves its band — the regression gate the round-2 saturating sweep
+could not be.
+
+    python experiments/synthetic_parity.py            # full sweep, ~1 h
+    python experiments/synthetic_parity.py --check    # sweep + band gate
+    python experiments/synthetic_parity.py --check-file experiments/results/parity_hard.json
+    python experiments/synthetic_parity.py --quick    # reduced points
+    python experiments/synthetic_parity.py --inject_bug  # wrong-k demo: the
+        quantizer silently loses 2 bits; the UQ@4bit delta must blow past
+        the locked band, demonstrating the harness has discriminating power
 """
 
 import json
@@ -22,50 +36,126 @@ import jax
 import pocketflow_tpu  # noqa: F401
 from pocketflow_tpu.config import FLAGS
 
+# calibrated on-chip (experiments/parity_calibrate.py): full-prec ResNet-20
+# eval accuracy vs snr: 0.10->0.25, 0.15->0.63, 0.18->0.802/0.805 (seeds
+# 0/1), 0.20->0.857/0.858, 0.22->0.90, 0.30->0.975.  snr=0.18 puts the
+# baseline mid-band with ±0.003 seed stability.
+HARD_TASK_SNR = 0.18
+
+# Locked regression bands: baseline absolute-accuracy window + per-point max
+# accuracy delta vs the run's own baseline.  Measured on the v5e chip
+# 2026-08-17 (experiments/results/parity_hard.json); margins are ~2x the
+# measured delta + the ±0.003 seed noise, floor 0.04.  The channel@50% band
+# reflects the He-2017 recipe's constant-1e-4 finetune (see
+# docs/performance.md "CP investigation"); its measured delta is 0.163 at the
+# reference-equivalent finetune budget.
+BASELINE_BAND = (0.75, 0.88)
+LOCKED_MAX_DELTA = {
+    'weight-sparse@50%': 0.05,    # measured 0.0034
+    'weight-sparse@75%': 0.05,    # measured 0.0015
+    'weight-sparse@90%': 0.10,    # measured 0.0254
+    'weight-sparse@95%': 0.28,    # measured 0.1938 (capacity point)
+    'uniform@4bit': 0.06,         # measured 0.0029
+    'uniform@8bit': 0.04,         # measured -0.0010
+    'uniform-tf@8/8': 0.06,       # measured 0.0020
+    'non-uniform@4bit': 0.08,     # measured 0.0151
+    'non-uniform@8bit': 0.04,     # measured -0.0005
+    'chn-pruned-gpu@50%': 0.14,   # measured 0.0625
+    'channel@50%': 0.26,          # measured 0.1630 @ cp_nb_iters_ft_ratio=1.0
+    'chn-pruned-rmt@50%': 0.06,   # measured -0.0195
+    'dis-chn-pruned@50%': 0.12,   # measured 0.0415
+}
+
+
+def check_results(results):
+    """Return a list of human-readable band violations (empty == healthy)."""
+    violations = []
+    base = results.get('full-prec')
+    if base is None:
+        return ['full-prec baseline missing from results']
+    if not BASELINE_BAND[0] <= base <= BASELINE_BAND[1]:
+        violations.append('full-prec %.4f outside calibrated band [%.2f, %.2f]'
+                          % (base, *BASELINE_BAND))
+    for key, bound in LOCKED_MAX_DELTA.items():
+        delta = results.get(key + '_delta')
+        if delta is None:
+            if not results.get('_quick'):
+                violations.append('%s missing from results' % key)
+            continue
+        if delta > bound:
+            violations.append('%s delta %.4f exceeds locked band %.2f'
+                              % (key, delta, bound))
+    return violations
+
+
+def inject_wrong_k_bug():
+    """Simulate a quantizer level-count bug: every fake-quant op silently
+    uses k/4 levels (2 bits fewer than requested)."""
+    from pocketflow_tpu.ops import fake_quant as fq
+    import jax.numpy as jnp
+    orig = fq._quantize_math
+
+    def buggy(x, k, axis):
+        return orig(x, jnp.maximum(k // 4, 1), axis)
+
+    fq._quantize_math = buggy
+
 
 def run_sweep(workdir=None, quick=False):
     workdir = workdir or tempfile.mkdtemp(prefix='pf_parity_')
-    results = {}
+    results = {'_quick': bool(quick)}
     base = dict(
-        synthetic_data=True, compute_dtype='bfloat16', rand_seed=0,
+        synthetic_data=True, synthetic_task='hard',
+        synthetic_snr=HARD_TASK_SNR, nb_classes=64,
+        compute_dtype='bfloat16', rand_seed=0,
         batch_size=128, batch_size_eval=128, nb_smpls_train=4096,
-        nb_smpls_eval=1024, lrn_rate_init=0.1, summ_step=100, save_step=10**6,
+        nb_smpls_eval=2048, lrn_rate_init=0.1, summ_step=400, save_step=10**6,
         save_path=os.path.join(workdir, 'models/model.ckpt'),
         log_dir=os.path.join(workdir, 'logs'),
-        resnet_size=20, nb_epochs_rat=0.05 if quick else 0.2)
+        resnet_size=20, nb_epochs_rat=0.1 if quick else 0.2)
     FLAGS.override(**base)
 
     from pocketflow_tpu.nets.resnet_at_cifar10 import ModelHelper
     from pocketflow_tpu.learners import create_learner
 
-    def evaluate(learner, state, eval_step=None):
-        step = eval_step or learner.build_eval_step()
-        return learner.run_eval_loop(state, step)
-
     # 1. full-precision baseline (checkpoint feeds every compression learner)
     learner = create_learner(None, ModelHelper(), learner_name='full-prec')
     state = learner.train()
-    results['full-prec'] = evaluate(learner, state)['accuracy']
+    baseline = float(learner.run_eval_loop(state, learner.build_eval_step())['accuracy'])
+    results['full-prec'] = baseline
 
-    # 2. weight sparsification @ 75% (reference's WS headline point)
-    with FLAGS.scope(ws_prune_ratio=0.75, ws_prune_ratio_prtl='uniform',
-                     ws_mask_update_step=20,
-                     ws_save_path=os.path.join(workdir, 'ws/model.ckpt')):
-        learner = create_learner(None, ModelHelper(), learner_name='weight-sparse')
-        state = learner.train()
-        metrics = learner.run_eval_loop(state, learner.build_sparse_eval_step())
-        results['weight-sparse@75%'] = metrics['accuracy']
-        results['weight-sparse@75%_pr'] = metrics['pr_msk']
+    def record(key, acc):
+        acc = float(acc)
+        results[key] = acc
+        results[key + '_delta'] = round(baseline - acc, 4)
+        print(json.dumps({key: round(acc, 4),
+                          'delta': results[key + '_delta']}), flush=True)
 
-    # 3. uniform quantization @ 4-bit channel buckets
-    with FLAGS.scope(uql_weight_bits=4, uql_use_buckets=True,
-                     uql_bucket_type='channel', uql_quant_epochs=30,
-                     uql_quantize_all_layers=False,
-                     uql_save_quant_model_path=os.path.join(workdir, 'uql/model.ckpt')):
-        learner = create_learner(None, ModelHelper(), learner_name='uniform')
-        state = learner.train()
-        results['uniform@4bit'] = learner.run_eval_loop(
-            state, learner.build_quant_eval_step())['accuracy']
+    # 2. weight sparsification @ reference sparsity ladder (performance.md:21-26)
+    ws_points = [0.75] if quick else [0.5, 0.75, 0.9, 0.95]
+    for pr in ws_points:
+        with FLAGS.scope(ws_prune_ratio=pr, ws_prune_ratio_prtl='uniform',
+                         ws_mask_update_step=20,
+                         ws_save_path=os.path.join(workdir, 'ws%d/model.ckpt'
+                                                   % int(pr * 100))):
+            learner = create_learner(None, ModelHelper(), learner_name='weight-sparse')
+            state = learner.train()
+            metrics = learner.run_eval_loop(state, learner.build_sparse_eval_step())
+            record('weight-sparse@%d%%' % int(pr * 100), metrics['accuracy'])
+            results['weight-sparse@%d%%_pr' % int(pr * 100)] = float(metrics['pr_msk'])
+
+    # 3. uniform quantization @ 4 + 8 bit channel buckets
+    uq_points = [4] if quick else [4, 8]
+    for bits in uq_points:
+        with FLAGS.scope(uql_weight_bits=bits, uql_use_buckets=True,
+                         uql_bucket_type='channel', uql_quant_epochs=30,
+                         uql_quantize_all_layers=False,
+                         uql_save_quant_model_path=os.path.join(
+                             workdir, 'uql%d/model.ckpt' % bits)):
+            learner = create_learner(None, ModelHelper(), learner_name='uniform')
+            state = learner.train()
+            record('uniform@%dbit' % bits, learner.run_eval_loop(
+                state, learner.build_quant_eval_step())['accuracy'])
 
     # 4. deployment QAT 8/8 (uniform-tf)
     with FLAGS.scope(uql_quant_epochs=30, uqtf_quant_delay=0,
@@ -73,36 +163,42 @@ def run_sweep(workdir=None, quick=False):
                      uqtf_save_path=os.path.join(workdir, 'uqtf/model.ckpt')):
         learner = create_learner(None, ModelHelper(), learner_name='uniform-tf')
         state = learner.train()
-        results['uniform-tf@8/8'] = learner.run_eval_loop(
-            state, learner.build_qat_eval_step())['accuracy']
+        record('uniform-tf@8/8', learner.run_eval_loop(
+            state, learner.build_qat_eval_step())['accuracy'])
 
-    # 5. channel pruning (PGD) @ 50%
+    # 5. non-uniform quantization @ 4 + 8 bit codebooks
+    for bits in uq_points:
+        with FLAGS.scope(nuql_weight_bits=bits, nuql_quant_epochs=30,
+                         nuql_opt_mode='both', nuql_quantize_all_layers=False,
+                         nuql_save_quant_model_path=os.path.join(
+                             workdir, 'nuql%d/model.ckpt' % bits)):
+            learner = create_learner(None, ModelHelper(), learner_name='non-uniform')
+            state = learner.train()
+            record('non-uniform@%dbit' % bits, learner.run_eval_loop(
+                state, learner.build_quant_eval_step())['accuracy'])
+
+    # 6. channel pruning (PGD) @ 50%
     with FLAGS.scope(cpg_prune_ratio=0.5, cpg_skip_ht_layers=True,
                      cpg_nb_iters_layer=24 if quick else 60,
                      cpg_save_path=os.path.join(workdir, 'cpg/model.ckpt')):
         learner = create_learner(None, ModelHelper(), learner_name='chn-pruned-gpu')
         state = learner.train()
-        results['chn-pruned-gpu@50%'] = learner.run_eval_loop(
-            state, learner.build_pruned_eval_step())['accuracy']
+        record('chn-pruned-gpu@50%', learner.run_eval_loop(
+            state, learner.build_pruned_eval_step())['accuracy'])
 
-    # 6. non-uniform quantization @ 4-bit codebooks
-    with FLAGS.scope(nuql_weight_bits=4, nuql_quant_epochs=30,
-                     nuql_opt_mode='both', nuql_quantize_all_layers=False,
-                     nuql_save_quant_model_path=os.path.join(workdir, 'nuql/model.ckpt')):
-        learner = create_learner(None, ModelHelper(), learner_name='non-uniform')
-        state = learner.train()
-        results['non-uniform@4bit'] = learner.run_eval_loop(
-            state, learner.build_quant_eval_step())['accuracy']
-
-    # 7. LASSO channel pruning (He-2017) @ 60% preserve, uniform
-    with FLAGS.scope(cp_prune_option='uniform', cp_uniform_preserve_ratio=0.6,
+    # 7. LASSO channel pruning (He-2017) @ ~50% FLOPs (preserve 0.5).
+    # ft_ratio=1.0 x the sweep's nb_epochs_rat=0.2 equals the reference's
+    # default finetune fraction (cp_nb_iters_ft_ratio=0.2 of full training);
+    # at 0.3 the constant-1e-4 finetune is budget-starved (measured 0.4678
+    # vs 0.6392 — docs/performance.md "CP investigation").
+    with FLAGS.scope(cp_prune_option='uniform', cp_uniform_preserve_ratio=0.5,
                      cp_nb_batches=6, cp_nb_points_per_layer=8,
-                     cp_nb_iters_ft_ratio=0.3,
+                     cp_nb_iters_ft_ratio=1.0,
                      cp_channel_pruned_path=os.path.join(workdir, 'cp/model.ckpt')):
         learner = create_learner(None, ModelHelper(), learner_name='channel')
         state = learner.train()
-        results['channel@60%'] = learner.run_eval_loop(
-            state, learner.build_eval_step())['accuracy']
+        record('channel@50%', learner.run_eval_loop(
+            state, learner.build_eval_step())['accuracy'])
 
     # 8. remastered channel pruning @ 50%
     with FLAGS.scope(cpr_prune_ratio=0.5, cpr_skip_frst_layer=True,
@@ -112,8 +208,8 @@ def run_sweep(workdir=None, quick=False):
                      cpr_save_path=os.path.join(workdir, 'cpr/model.ckpt')):
         learner = create_learner(None, ModelHelper(), learner_name='chn-pruned-rmt')
         state = learner.train()
-        results['chn-pruned-rmt@50%'] = learner.run_eval_loop(
-            state, learner.build_eval_step())['accuracy']
+        record('chn-pruned-rmt@50%', learner.run_eval_loop(
+            state, learner.build_eval_step())['accuracy'])
 
     # 9. discrimination-aware channel pruning @ 50%
     with FLAGS.scope(dcp_prune_ratio=0.5, dcp_nb_stages=2,
@@ -122,14 +218,74 @@ def run_sweep(workdir=None, quick=False):
                      dcp_save_path=os.path.join(workdir, 'dcp/model.ckpt')):
         learner = create_learner(None, ModelHelper(), learner_name='dis-chn-pruned')
         state = learner.train()
-        results['dis-chn-pruned@50%'] = learner.run_eval_loop(
-            state, learner.build_eval_step())['accuracy']
+        record('dis-chn-pruned@50%', learner.run_eval_loop(
+            state, learner.build_eval_step())['accuracy'])
 
     return results
 
 
+def run_bug_demo(workdir=None):
+    """Baseline + UQ@4bit with the wrong-k bug injected: the delta must be
+    far outside the healthy band (docs/performance.md locks the bands)."""
+    workdir = workdir or tempfile.mkdtemp(prefix='pf_parity_bug_')
+    inject_wrong_k_bug()
+    results = {}
+    FLAGS.override(
+        synthetic_data=True, synthetic_task='hard',
+        synthetic_snr=HARD_TASK_SNR, nb_classes=64,
+        compute_dtype='bfloat16', rand_seed=0,
+        batch_size=128, batch_size_eval=128, nb_smpls_train=4096,
+        nb_smpls_eval=2048, lrn_rate_init=0.1, summ_step=400, save_step=10**6,
+        save_path=os.path.join(workdir, 'models/model.ckpt'),
+        log_dir=os.path.join(workdir, 'logs'),
+        resnet_size=20, nb_epochs_rat=0.2)
+    from pocketflow_tpu.nets.resnet_at_cifar10 import ModelHelper
+    from pocketflow_tpu.learners import create_learner
+    learner = create_learner(None, ModelHelper(), learner_name='full-prec')
+    state = learner.train()
+    results['full-prec'] = float(learner.run_eval_loop(
+        state, learner.build_eval_step())['accuracy'])
+    with FLAGS.scope(uql_weight_bits=4, uql_use_buckets=True,
+                     uql_bucket_type='channel', uql_quant_epochs=30,
+                     uql_quantize_all_layers=False,
+                     uql_save_quant_model_path=os.path.join(workdir, 'uql/model.ckpt')):
+        learner = create_learner(None, ModelHelper(), learner_name='uniform')
+        state = learner.train()
+        results['uniform@4bit(buggy)'] = float(learner.run_eval_loop(
+            state, learner.build_quant_eval_step())['accuracy'])
+    results['delta'] = results['full-prec'] - results['uniform@4bit(buggy)']
+    return results
+
+
+def _check_and_exit(out):
+    violations = check_results(out)
+    if violations:
+        print('PARITY BAND VIOLATIONS:')
+        for v in violations:
+            print('  ' + v)
+        sys.exit(1)
+    print('parity bands: all %d points within locked bands'
+          % len(LOCKED_MAX_DELTA))
+
+
 if __name__ == '__main__':
-    quick = '--quick' in sys.argv
-    results = run_sweep(quick=quick)
-    print(json.dumps({k: round(float(v), 4) for k, v in results.items()},
-                     indent=2))
+    if '--check-file' in sys.argv:
+        path = sys.argv[sys.argv.index('--check-file') + 1]
+        with open(path) as fin:
+            _check_and_exit(json.load(fin))
+        sys.exit(0)
+    if '--inject_bug' in sys.argv:
+        out = run_bug_demo()
+    else:
+        out = run_sweep(quick='--quick' in sys.argv)
+    out = {k: (round(float(v), 4) if not isinstance(v, bool) else v)
+           for k, v in out.items()}
+    print(json.dumps(out, indent=2))
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'results'), exist_ok=True)
+    tag = 'parity_hard_bug' if '--inject_bug' in sys.argv else 'parity_hard'
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'results', tag + '.json'), 'w') as fout:
+        json.dump(out, fout, indent=2)
+    if '--check' in sys.argv:
+        _check_and_exit(out)
