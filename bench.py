@@ -4,7 +4,13 @@ Per BASELINE.json, the headline metric is images/sec/chip for QAT ResNet-50.
 vs_baseline normalizes against an A100 TF1-graph QAT ResNet-50 reference
 estimate (~750 img/s/GPU); the north-star target is >=3x that.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The primary `value` is measured at EXACT synchronous-BN semantics (the
+framework default, a strict improvement on the reference's per-GPU BN).  The
+relaxed-semantics figure (`bn_stats_subsample=8`, which matches the reference
+baseline's 32-sample per-GPU BN statistics regime) is reported as the labeled
+extra field `value_ghost_bn_8`.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -25,21 +31,9 @@ N_WARMUP = 5
 N_TIMED = 20
 
 
-def main():
-    import pocketflow_tpu  # noqa: F401
+def measure(bn_stats_subsample):
+    """Measure steady-state train-step throughput at the given BN regime."""
     from pocketflow_tpu.config import FLAGS
-    FLAGS.override(synthetic_data=True, compute_dtype='bfloat16',
-                   summ_step=10 ** 9, save_step=10 ** 9,
-                   resnet_stem_s2d=True,  # MXU-dense stem (MLPerf trick)
-                   # BN stats over batch/8 samples == the reference baseline's
-                   # per-GPU BN regime (Horovod batch 256 over 8 workers
-                   # normalizes on 32-sample statistics; ghost-BN strides the
-                   # same fraction). Removes 7/8 of the stats re-read traffic
-                   # on this bandwidth-bound step. Exact sync-BN (a strict
-                   # improvement on the reference) remains the default
-                   # elsewhere; see docs/performance.md.
-                   bn_stats_subsample=8)
-
     from pocketflow_tpu.nets.resnet_at_ilsvrc12 import ModelHelper
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
 
@@ -50,7 +44,8 @@ def main():
         qat = False
 
     with FLAGS.scope(batch_size=BATCH_SIZE, batch_size_eval=BATCH_SIZE,
-                     nb_smpls_train=4096, nb_smpls_eval=512, nb_epochs_rat=1.0):
+                     nb_smpls_train=4096, nb_smpls_eval=512, nb_epochs_rat=1.0,
+                     bn_stats_subsample=bn_stats_subsample):
         helper = ModelHelper(resnet_size=50)
         if qat:
             learner = UniformQuantLearner(None, helper)
@@ -90,13 +85,31 @@ def main():
         elapsed = time.perf_counter() - start
 
     n_chips = max(1, len(jax.devices()))
-    imgs_per_sec_per_chip = BATCH_SIZE * N_TIMED / elapsed / n_chips
+    return BATCH_SIZE * N_TIMED / elapsed / n_chips, qat
+
+
+def main():
+    import pocketflow_tpu  # noqa: F401
+    from pocketflow_tpu.config import FLAGS
+    FLAGS.override(synthetic_data=True, compute_dtype='bfloat16',
+                   summ_step=10 ** 9, save_step=10 ** 9,
+                   resnet_stem_s2d=True)  # MXU-dense stem (MLPerf trick)
+
+    # Primary: exact synchronous BN (bn_stats_subsample=1, framework default).
+    exact, qat = measure(bn_stats_subsample=1)
+    # Extra: ghost-BN stride 8 == the A100 baseline's per-GPU 32-sample BN
+    # statistics regime (Horovod batch 256 over 8 workers); see
+    # docs/performance.md for the semantics discussion.
+    ghost, _ = measure(bn_stats_subsample=8)
+
     print(json.dumps({
-        'metric': 'images/sec/chip (%s ResNet-50 @ 224, bf16, bs=%d)'
+        'metric': 'images/sec/chip (%s ResNet-50 @ 224, bf16, bs=%d, exact sync-BN)'
                   % ('QAT' if qat else 'full-prec', BATCH_SIZE),
-        'value': round(imgs_per_sec_per_chip, 2),
+        'value': round(exact, 2),
         'unit': 'images/sec/chip',
-        'vs_baseline': round(imgs_per_sec_per_chip / A100_TF_QAT_RESNET50_IMG_PER_SEC, 3),
+        'vs_baseline': round(exact / A100_TF_QAT_RESNET50_IMG_PER_SEC, 3),
+        'value_ghost_bn_8': round(ghost, 2),
+        'vs_baseline_ghost_bn_8': round(ghost / A100_TF_QAT_RESNET50_IMG_PER_SEC, 3),
     }))
 
 
