@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def test_save_load_packed_roundtrip(tmp_path):
@@ -46,6 +47,7 @@ def test_fold_batch_norm_preserves_eval_output():
     assert not np.allclose(k0, k1)
 
 
+@pytest.mark.slow  # ~25 s: full-MobileNet BN-fold numerics (non-slow gate <5 min)
 def test_fold_batch_norm_mobilenet():
     import jax
     from pocketflow_tpu.nets.mobilenet import MobileNetV2

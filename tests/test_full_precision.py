@@ -27,12 +27,12 @@ def test_full_prec_trains_and_loss_decreases(tmp_path):
         rng = jax.random.PRNGKey(0)
 
         losses = []
-        for idx in range(60):
+        for idx in range(32):
             batch = next(iterator)
             state, metrics = train_step(state, batch, jax.random.fold_in(rng, idx))
             losses.append(float(jax.device_get(metrics['accuracy'])))
         # synthetic blobs are easy: accuracy should exceed 0.5 quickly
-        assert np.mean(losses[-10:]) > 0.5, losses[-10:]
+        assert np.mean(losses[-8:]) > 0.5, losses[-8:]
 
         eval_step = learner.build_eval_step()
         metrics = learner.run_eval_loop(state, eval_step, nb_batches=4)

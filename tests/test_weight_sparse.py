@@ -92,7 +92,7 @@ def test_weight_sparse_uniform_end_to_end(tmp_path):
     from pocketflow_tpu.learners.weight_sparsification import masking
     from pocketflow_tpu.learners.weight_sparsification.learner import WeightSparseLearner
     with FLAGS.scope(batch_size=16, nb_smpls_train=480, nb_smpls_eval=128,
-                     batch_size_eval=32, nb_epochs_rat=0.05, lrn_rate_init=0.05,
+                     batch_size_eval=32, nb_epochs_rat=0.03, lrn_rate_init=0.05,
                      ws_prune_ratio=0.5, ws_prune_ratio_prtl='uniform',
                      ws_mask_update_step=5, ws_iter_ratio_beg=0.1,
                      ws_iter_ratio_end=0.5,
