@@ -195,9 +195,14 @@ def select_channels(P: np.ndarray, y: np.ndarray, c_new: int,
         idxs, count = nnz(alpha)
     log.info('lasso: kept %d/%d channels (target %d, alpha %.3e)',
              count, c_in, c_new, alpha)
-    if count == 0:  # degenerate: keep the strongest channel
+    if count == 0:
+        # degenerate (P^T y ~ 0, e.g. a collapsed upstream layer): the LASSO
+        # cannot rank channels, so fall back to magnitude selection at the
+        # REQUESTED count — keeping a single channel would over-prune far
+        # past the target and silently break the FLOPs budget accounting
+        order = np.argsort(-np.abs(P).sum(0))
         idxs = np.zeros(c_in, bool)
-        idxs[int(np.argmax(np.abs(P).sum(0)))] = True
+        idxs[order[:max(1, c_new)]] = True
     return idxs
 
 

@@ -42,6 +42,23 @@ def test_select_channels_hits_target_count():
     assert 6 <= int(idxs.sum()) <= 10
 
 
+def test_select_channels_degenerate_target_falls_back_to_magnitude():
+    """y == 0 (collapsed upstream layer): the LASSO cannot rank channels —
+    the fallback must keep the REQUESTED count by column magnitude, not
+    over-prune to a single channel (which would silently smash the AMC
+    FLOPs accounting)."""
+    from pocketflow_tpu.learners.channel_pruning.channel_pruner import (
+        make_lasso_solver, select_channels)
+    rng = np.random.default_rng(2)
+    P = rng.normal(size=(200, 32)).astype(np.float32)
+    P[:, 16:] *= 10.0  # strongest half
+    y = np.zeros(200, np.float32)
+    solver = make_lasso_solver(nb_iters=200)
+    idxs = select_channels(P, y, c_new=16, solver=solver)
+    assert int(idxs.sum()) == 16
+    assert idxs[16:].all()  # magnitude fallback picked the strong half
+
+
 def test_amc_rl_helper_flops_budget():
     from pocketflow_tpu.learners.channel_pruning.learner import AmcRLHelper
     specs = [
