@@ -45,7 +45,8 @@ class Cifar10Dataset(AbstractDataset):
         batch_size=128, batch_size_eval=100, image_shape=(32, 32, 3))
 
     def _load_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
-        data_dir = FLAGS.get('data_dir_local')
+        from pocketflow_tpu.datasets.remote_fs import resolve_data_dir
+        data_dir = resolve_data_dir()
         if data_dir and os.path.isdir(data_dir):
             pattern = 'data_batch_*.bin' if self.is_train else 'test_batch.bin'
             paths = sorted(glob.glob(os.path.join(data_dir, '**', pattern), recursive=True))

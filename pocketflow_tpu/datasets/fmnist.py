@@ -39,7 +39,8 @@ class FMnistDataset(AbstractDataset):
         batch_size=128, batch_size_eval=100, image_shape=(28, 28, 1))
 
     def _load_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
-        data_dir = FLAGS.get('data_dir_local')
+        from pocketflow_tpu.datasets.remote_fs import resolve_data_dir
+        data_dir = resolve_data_dir()
         prefix = 'train' if self.is_train else 't10k'
         if data_dir:
             img_path = os.path.join(data_dir, '%s-images-idx3-ubyte.gz' % prefix)

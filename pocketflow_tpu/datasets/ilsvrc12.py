@@ -34,7 +34,8 @@ class Ilsvrc12Dataset(AbstractDataset):
         batch_size=64, batch_size_eval=100, image_shape=(224, 224, 3))
 
     def _load_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
-        data_dir = FLAGS.get('data_dir_local')
+        from pocketflow_tpu.datasets.remote_fs import resolve_data_dir
+        data_dir = resolve_data_dir()
         subset = 'train' if self.is_train else 'val'
         if data_dir and os.path.isdir(data_dir):
             img_shards = sorted(glob.glob(os.path.join(data_dir, '%s_images_*.npy' % subset)))

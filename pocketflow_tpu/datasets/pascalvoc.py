@@ -49,7 +49,8 @@ class PascalVocDataset(AbstractDataset):
             self.spec = replace(self.spec, image_shape=(int(size), int(size), 3))
 
     def _load_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
-        data_dir = FLAGS.get('data_dir_local')
+        from pocketflow_tpu.datasets.remote_fs import resolve_data_dir
+        data_dir = resolve_data_dir()
         if data_dir and os.path.isdir(data_dir):
             pattern = 'train*.npz' if self.is_train else 'val*.npz'
             paths = sorted(glob.glob(os.path.join(data_dir, pattern)))

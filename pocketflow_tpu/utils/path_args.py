@@ -51,3 +51,7 @@ def apply_path_conf(model_name: str, conf_path: Optional[str] = None):
         FLAGS.override(data_disk=conf['data_disk'])
     if conf.get('data_hdfs_host'):
         FLAGS.override(data_hdfs_host=conf['data_hdfs_host'])
+    key_hdfs = 'data_dir_hdfs_%s' % dataset
+    if conf.get(key_hdfs) and FLAGS.get('data_dir_hdfs') is None:
+        # reference path.conf ships per-dataset data_dir_hdfs_* entries
+        FLAGS.override(data_dir_hdfs=conf[key_hdfs])
