@@ -149,3 +149,43 @@ def test_frcnn_resnet_backbone_policies_reach_convs():
         # resnet18 stages 1-3: 2 blocks each, 2 convs per block (+1 sc per
         # downsampling stage) + stem + 2 laterals + rpn convs
         assert len(specs) >= 18
+
+
+def test_frcnn_warm_start_grafts_classifier_trunk(tmp_path):
+    """The reference's FRCNN recipe: graft a classification checkpoint into
+    the detection backbone (faster_rcnn_at_pascalvoc.py backbone restore).
+    The trunk's module names match nets/resnet.py's ImageNet models, so
+    restore_intersecting with the backbone/ prefix map must move the
+    classifier's stem + stage weights into the detector."""
+    from pocketflow_tpu.core import checkpoint as ckpt_lib
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.nets.faster_rcnn_at_pascalvoc import ModelHelper
+    from pocketflow_tpu.nets.resnet_at_ilsvrc12 import ModelHelper as ClsHelper
+
+    cls_ckpt = str(tmp_path / 'cls' / 'model.ckpt')
+    with FLAGS.scope(resnet_size=18, nb_classes=16, batch_size=2,
+                     batch_size_eval=2, nb_smpls_train=64, nb_smpls_eval=64,
+                     save_path=cls_ckpt):
+        learner = FullPrecLearner(None, ClsHelper(resnet_size=18))
+        cls_state, _, _ = learner.init_state()
+        ckpt_lib.save(cls_ckpt, cls_state, 1)
+        cls_kernel = np.asarray(jax.device_get(
+            cls_state.params['conv_init']['kernel']), np.float32)
+
+    with FLAGS.scope(batch_size=2, batch_size_eval=2, nb_smpls_train=32,
+                     nb_smpls_eval=16, voc_image_size=64, nb_bboxs_max=4,
+                     frcnn_nb_proposals=8, frcnn_nb_pre_nms=32,
+                     frcnn_roi_batch=8, frcnn_backbone='resnet18',
+                     save_path=cls_ckpt):
+        helper = ModelHelper()
+        det = FullPrecLearner(None, helper)
+        state, _, _ = det.init_state()
+        state = helper.warm_start(state)
+        got = np.asarray(jax.device_get(
+            state.params['backbone']['conv_init']['kernel']), np.float32)
+        np.testing.assert_array_equal(got, cls_kernel)
+        got_s3 = np.asarray(jax.device_get(
+            state.params['backbone']['stage3_block1']['conv2']['kernel']))
+        want_s3 = np.asarray(jax.device_get(
+            cls_state.params['stage3_block1']['conv2']['kernel']))
+        np.testing.assert_array_equal(got_s3, want_s3)
