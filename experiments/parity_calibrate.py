@@ -35,9 +35,13 @@ def run_one(snr, seed=0, epochs_rat=0.2):
 
 def main():
     snrs = [0.06, 0.08, 0.10]
-    for arg in sys.argv[1:]:
+    args = sys.argv[1:]
+    for i, arg in enumerate(args):
         if arg.startswith('--snr'):
-            snrs = [float(v) for v in arg.split('=', 1)[1].split(',')]
+            # both '--snr=a,b' and '--snr a,b' forms (docstring documents
+            # the space-separated one)
+            raw = arg.split('=', 1)[1] if '=' in arg else args[i + 1]
+            snrs = [float(v) for v in raw.split(',')]
     results = {}
     for snr in snrs:
         acc = run_one(snr)

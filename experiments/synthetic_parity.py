@@ -19,6 +19,10 @@ could not be.
     python experiments/synthetic_parity.py --check    # sweep + band gate
     python experiments/synthetic_parity.py --check-file experiments/results/parity_hard.json
     python experiments/synthetic_parity.py --quick    # reduced points
+
+Results land in $PF_PARITY_OUT (default /tmp/pf_parity_results); only a
+full-sweep `--publish` run overwrites the committed evidence under
+experiments/results/ that tests/test_parity_bands.py validates.
     python experiments/synthetic_parity.py --inject_bug  # wrong-k demo: the
         quantizer silently loses 2 bits; the UQ@4bit delta must blow past
         the locked band, demonstrating the harness has discriminating power
@@ -281,11 +285,21 @@ if __name__ == '__main__':
     out = {k: (round(float(v), 4) if not isinstance(v, bool) else v)
            for k, v in out.items()}
     print(json.dumps(out, indent=2))
-    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             'results'), exist_ok=True)
     tag = 'parity_hard_bug' if '--inject_bug' in sys.argv else 'parity_hard'
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           'results', tag + '.json'), 'w') as fout:
+    if '--publish' in sys.argv and '--quick' not in sys.argv:
+        # overwrite the committed on-chip evidence (tests/test_parity_bands.py
+        # validates it) only on an explicit full-sweep publish — a casual
+        # --quick CPU smoke run must not clobber the chip numbers
+        res_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'results')
+    else:
+        res_dir = os.environ.get('PF_PARITY_OUT', '/tmp/pf_parity_results')
+    os.makedirs(res_dir, exist_ok=True)
+    path = os.path.join(res_dir, tag + '.json')
+    with open(path, 'w') as fout:
         json.dump(out, fout, indent=2)
+    print('results written to %s%s' % (path, '' if '--publish' in sys.argv
+                                       else ' (use --publish to update the '
+                                            'committed evidence)'))
     if '--check' in sys.argv:
         _check_and_exit(out)

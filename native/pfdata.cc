@@ -128,6 +128,8 @@ struct Sampler {
   std::mutex mu;
   std::condition_variable cv_draw;     // workers wait for in-flight room
   std::condition_variable cv_deliver;  // consumer waits for ready[seq_deliver]
+  std::condition_variable cv_idle;     // destructor waits for consumers to leave
+  int64_t active_consumers = 0;        // consumers inside next() (guarded by mu)
   std::atomic<bool> stop{false};
   std::vector<std::thread> workers;
 
@@ -186,16 +188,26 @@ struct Sampler {
   // another thread unblocks with an error instead of hanging forever).
   int next(uint8_t* images_out, float* labels_out) {
     Batch b;
+    bool got = false;
     {
       std::unique_lock<std::mutex> lock(mu);
+      ++active_consumers;
       const int64_t want = seq_deliver;
       cv_deliver.wait(lock,
                       [&] { return stop.load() || ready.count(want) != 0; });
       auto it = ready.find(want);
-      if (it == ready.end()) return 0;  // stopped with nothing ready
-      b = std::move(it->second);
-      ready.erase(it);
-      ++seq_deliver;
+      if (it != ready.end()) {
+        b = std::move(it->second);
+        ready.erase(it);
+        ++seq_deliver;
+        got = true;
+      }
+      // handshake with ~Sampler: it may not free the object until every
+      // consumer has left this critical section (a bare join of workers
+      // would let `delete` complete while a woken consumer still touches
+      // mu/ready between wake-up and return)
+      if (--active_consumers == 0) cv_idle.notify_all();
+      if (!got) return 0;  // stopped with nothing ready
     }
     cv_draw.notify_all();
     std::memcpy(images_out, b.images.data(), b.images.size());
@@ -204,9 +216,13 @@ struct Sampler {
   }
 
   ~Sampler() {
-    stop.store(true);
-    cv_draw.notify_all();
-    cv_deliver.notify_all();
+    {
+      std::unique_lock<std::mutex> lock(mu);
+      stop.store(true);
+      cv_draw.notify_all();
+      cv_deliver.notify_all();
+      cv_idle.wait(lock, [&] { return active_consumers == 0; });
+    }
     for (auto& w : workers) w.join();
   }
 };

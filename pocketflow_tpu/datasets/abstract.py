@@ -135,6 +135,22 @@ class AbstractDataset(ABC):
         (e.g. horizontal flips mirror box coordinates)."""
         return {**batch, 'image': self.augment(batch['image'], rng, is_train)}
 
+    def augment_xy(self, batch, rng: jax.Array, is_train: bool):
+        """Augment a raw iterator batch and return ``(images, labels)``.
+
+        The single entry point custom learner steps must use: augment_batch
+        may unpack packed per-sample metadata (e.g. ILSVRC full-frame valid
+        extents riding in [n, 3] float label rows) — consuming
+        ``batch['label']`` raw would feed the packed row into the loss."""
+        out = self.augment_batch(batch, rng, is_train)
+        return out['image'], out['label']
+
+    def augment_images(self, batch, rng: jax.Array, is_train: bool) -> jax.Array:
+        """Augmented images of a raw iterator batch (labels consumed for any
+        packed crop extents, then dropped) — for regression / calibration /
+        feature-capture steps that only need extent-correct pixels."""
+        return self.augment_batch(batch, rng, is_train)['image']
+
     # -- synthetic fallback ---------------------------------------------------
 
     def synthesize_arrays(self, nb_smpls: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:

@@ -20,6 +20,7 @@ import hashlib
 import os
 import shutil
 import subprocess
+import time
 
 from pocketflow_tpu.config import FLAGS
 from pocketflow_tpu.core.metrics import get_logger
@@ -30,6 +31,14 @@ FLAGS.DEFINE_string('data_dir_hdfs', None,
 FLAGS.DEFINE_string('data_cache_dir', None,
                     'local cache for staged remote data '
                     '(default ~/.cache/pocketflow_tpu)')
+FLAGS.DEFINE_float('data_stage_timeout', 3600.0,
+                   'seconds a process waits for another process on the same '
+                   'host to finish staging remote data')
+
+# remote URL -> staged local dir, memoized so the cross-process barrier in
+# resolve_data_dir runs exactly once per URL per process (every process
+# executes the same program, so participation stays consistent)
+_RESOLVED: dict = {}
 
 
 def _cache_root() -> str:
@@ -88,12 +97,50 @@ def resolve_data_dir() -> str | None:
         raise ValueError('data_disk=hdfs requires both --data_hdfs_host and '
                          '--data_dir_hdfs')
     remote_url = host.rstrip('/') + '/' + rdir.lstrip('/')
+    if remote_url in _RESOLVED:
+        return _RESOLVED[remote_url]
     dst = os.path.join(_cache_root(),
                        hashlib.sha1(remote_url.encode()).hexdigest()[:16])
     from pocketflow_tpu.core import mesh
     if not os.path.isdir(dst):
-        if mesh.is_primary_worker():
-            os.makedirs(_cache_root(), exist_ok=True)
-            _stage(remote_url, dst)
-        mesh.auto_barrier('stage_remote_data')
+        _stage_elected(remote_url, dst)
+    # every process that reached here synchronizes, whether or not it staged —
+    # conditional participation (skip-if-cached) can deadlock when processes
+    # disagree about cache presence (hosts with separate disks, or a worker
+    # that first checked after the primary's os.replace landed)
+    mesh.auto_barrier('stage_remote_data')
+    if not os.path.isdir(dst):
+        raise RuntimeError(
+            'remote data staging left no local copy at %s on this host — '
+            'refusing to continue (a silent synthetic-data fallback would '
+            'train this process on garbage while others train on %s)'
+            % (dst, remote_url))
+    _RESOLVED[remote_url] = dst
     return dst
+
+
+def _stage_elected(remote_url: str, dst: str):
+    """Host-local election: exactly one process per filesystem stages; the
+    rest wait for the copy to land.  Unlike a global-primary-only copy this
+    works on multi-host pods with per-VM disks — each host's winner stages
+    its own cache (the reference's HDFS driver read remote files in place,
+    so every worker saw the data; the staged cache must too)."""
+    os.makedirs(_cache_root(), exist_ok=True)
+    lock = dst + '.lock'
+    try:
+        os.mkdir(lock)
+    except FileExistsError:
+        deadline = time.time() + float(FLAGS.get('data_stage_timeout') or 3600.0)
+        while time.time() < deadline:
+            if os.path.isdir(dst) and not os.path.exists(lock):
+                return
+            time.sleep(0.5)
+        raise RuntimeError(
+            'timed out waiting for another process to stage %s into %s '
+            '(stale lock %s from a crashed run? remove it and retry)'
+            % (remote_url, dst, lock))
+    try:
+        if not os.path.isdir(dst):
+            _stage(remote_url, dst)
+    finally:
+        os.rmdir(lock)

@@ -163,12 +163,10 @@ class AbstractLearner(ABC):
         """
         helper = self.model_helper
         model = self.model
-        augment_batch = self.dataset_train.augment_batch
+        augment_xy = self.dataset_train.augment_xy
 
         def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
-            batch = augment_batch(batch, rng, True)
-            images = batch['image']
-            labels = batch['label']
+            images, labels = augment_xy(batch, rng, True)
             policy = policy_fn(state) if policy_fn is not None else None
 
             def loss_fn(params):
@@ -206,12 +204,10 @@ class AbstractLearner(ABC):
     def build_eval_step(self, policy_fn=None):
         helper = self.model_helper
         model = self.model
-        augment_batch = self.dataset_eval.augment_batch
+        augment_xy = self.dataset_eval.augment_xy
 
         def step_fn(state: TrainState, batch):
-            batch = augment_batch(batch, jax.random.PRNGKey(0), False)
-            images = batch['image']
-            labels = batch['label']
+            images, labels = augment_xy(batch, jax.random.PRNGKey(0), False)
             policy = policy_fn(state) if policy_fn is not None else None
             variables = {'params': state.params, 'batch_stats': state.batch_stats}
             outputs = helper.forward_eval(model, variables, images, policy=policy)
@@ -313,10 +309,16 @@ class AbstractLearner(ABC):
             per_step = self.dataset_eval.batch_size * jax.process_count()
             base = max(1, -(-nb_smpls // per_step))
             nb_batches = base
-            for k in range(base, min(base * 8, base + 64) + 1):
-                if (k * per_step) % nb_smpls == 0:
-                    nb_batches = k
-                    break
+            # The exact-multiple argument needs EQUAL per-process shards:
+            # strided sharding gives ceil/floor sizes when P does not divide
+            # nb_smpls, and then k*bs/s_p differs across processes for every
+            # k (samples on small shards would be over-counted).  Only claim
+            # exact coverage when the shards are provably equal.
+            if nb_smpls % max(1, jax.process_count()) == 0:
+                for k in range(base, min(base * 8, base + 64) + 1):
+                    if (k * per_step) % nb_smpls == 0:
+                        nb_batches = k
+                        break
         totals: Dict[str, float] = {}
         for _ in range(nb_batches):
             metrics = jax.device_get(eval_step(state, self.put_batch(next(iterator))))

@@ -227,14 +227,14 @@ class ChannelPruner:
         if path in self._samplers:
             return self._samplers[path]
         model = self.model
-        augment = self.dataset.augment
+        augment_images = self.dataset.augment_images
         h, w, c_in, c_out = spec['kernel_shape']
         strides = spec['strides']
         nb_pts = FLAGS.cp_nb_points_per_layer
 
         @jax.jit
         def sample(fparams, fbstats, batch, rng):
-            images = augment(batch['image'], jax.random.PRNGKey(0), False)
+            images = augment_images(batch, jax.random.PRNGKey(0), False)
             recorder = InputCapturePolicy()
             with compression(recorder):
                 model.apply({'params': fparams, 'batch_stats': fbstats},

@@ -145,8 +145,9 @@ class ChannelPrunedLearner(AbstractLearner):
 
     def _setup_pruner(self, state: TrainState):
         sample = next(self.dataset_train.build())
-        sample_images = self.dataset_train.augment(
-            jnp.asarray(sample['image'][:2]), jax.random.PRNGKey(0), False)
+        sample_images = self.dataset_train.augment_images(
+            {k: jnp.asarray(v[:2]) for k, v in sample.items()},
+            jax.random.PRNGKey(0), False)
         self.specs = cp_lib.conv_layer_specs(
             self.model, state.params, state.batch_stats, sample_images)
         # first conv is never pruned (its input is the image)
@@ -234,7 +235,7 @@ class ChannelPrunedLearner(AbstractLearner):
         import optax
         helper = self.model_helper
         model = self.model
-        augment = self.dataset_train.augment
+        augment_xy = self.dataset_train.augment_xy
         tx = optax.sgd(learning_rate=FLAGS.cp_lrn_rate_ft, momentum=FLAGS.momentum)
         spec_paths = [s['path'] for s in self.specs]
 
@@ -244,8 +245,7 @@ class ChannelPrunedLearner(AbstractLearner):
 
         @jax.jit
         def step(params, bstats, masks, opt_state, batch, rng):
-            images = augment(batch['image'], rng, True)
-            labels = batch['label']
+            images, labels = augment_xy(batch, rng, True)
 
             def loss_fn(pp):
                 variables = {'params': pp, 'batch_stats': bstats}

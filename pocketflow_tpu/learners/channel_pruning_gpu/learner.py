@@ -122,7 +122,7 @@ class ChannelPrunedGpuLearner(AbstractLearner):
         """Jitted programs for the PGD selection + layer reconstruction."""
         model = self.model
         helper = self.helper = self.model_helper
-        augment = self.dataset_train.augment
+        augment_images = self.dataset_train.augment_images
         model_name = helper.model_name
         path_index = {p: i for i, p in enumerate(paths)}
 
@@ -165,7 +165,7 @@ class ChannelPrunedGpuLearner(AbstractLearner):
 
         @jax.jit
         def pgd_step(fparams, fbstats, pruned, lrn_rates, percentiles, batch):
-            images = augment(batch['image'], jax.random.PRNGKey(0), False)
+            images = augment_images(batch, jax.random.PRNGKey(0), False)
             loss_fn = reg_losses_and_grads(fparams, fbstats, pruned)
             grads, losses = jax.grad(lambda pp: loss_fn(pp, images),
                                      has_aux=True)(pruned)
@@ -197,7 +197,7 @@ class ChannelPrunedGpuLearner(AbstractLearner):
         @jax.jit
         def recon_step(fparams, fbstats, pruned, masks, opt_state, batch):
             """Layer reconstruction on surviving channels (Adam, :385-392)."""
-            images = augment(batch['image'], jax.random.PRNGKey(0), False)
+            images = augment_images(batch, jax.random.PRNGKey(0), False)
             loss_fn = reg_losses_and_grads(fparams, fbstats, pruned)
             grads, losses = jax.grad(lambda pp: loss_fn(pp, images),
                                      has_aux=True)(pruned)
@@ -292,13 +292,13 @@ class ChannelPrunedGpuLearner(AbstractLearner):
     def build_pruned_eval_step(self):
         helper = self.model_helper
         model = self.model
-        augment = self.dataset_eval.augment
+        augment_xy = self.dataset_eval.augment_xy
 
         def step_fn(state: TrainState, batch):
-            images = augment(batch['image'], jax.random.PRNGKey(0), False)
+            images, labels = augment_xy(batch, jax.random.PRNGKey(0), False)
             variables = {'params': state.params, 'batch_stats': state.batch_stats}
             outputs = helper.forward_eval(model, variables, images)
-            loss, metrics = helper.calc_loss(batch['label'], outputs, state.params)
+            loss, metrics = helper.calc_loss(labels, outputs, state.params)
             return {'loss': loss,
                     'pr_trn': masking.calc_prune_ratio(state.params),
                     **metrics}

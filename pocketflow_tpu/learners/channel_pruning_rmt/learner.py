@@ -116,8 +116,9 @@ class ChannelPrunedRmtLearner(AbstractLearner):
 
     def _setup(self, state: TrainState):
         sample = next(self.dataset_train.build())
-        sample_images = self.dataset_train.augment(
-            jnp.asarray(sample['image'][:2]), jax.random.PRNGKey(0), False)
+        sample_images = self.dataset_train.augment_images(
+            {k: jnp.asarray(v[:2]) for k, v in sample.items()},
+            jax.random.PRNGKey(0), False)
         specs = cp_lib.conv_layer_specs(
             self.model, state.params, state.batch_stats, sample_images)
         skip_names = set()

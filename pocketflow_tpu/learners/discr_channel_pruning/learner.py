@@ -122,7 +122,8 @@ class DisChnPrunedLearner(AbstractLearner):
     def _build_programs(self, conv_paths, head_sites):
         model = self.model
         helper = self.model_helper
-        augment = self.dataset_train.augment
+        augment_xy = self.dataset_train.augment_xy
+        augment_images = self.dataset_train.augment_images
         nb_blocks = int(FLAGS.dcp_nb_stages + 1)
         heads = {site: AuxHead(self.nb_classes) for site in head_sites}
         tx = optax.adam(FLAGS.dcp_lrn_rate_adam)
@@ -156,7 +157,7 @@ class DisChnPrunedLearner(AbstractLearner):
 
         @jax.jit
         def init_aux(fparams, fbstats, batch, rng):
-            images = augment(batch['image'], jax.random.PRNGKey(0), False)
+            images = augment_images(batch, jax.random.PRNGKey(0), False)
             acts = dict(capture_forward(
                 model, {'params': fparams, 'batch_stats': fbstats}, images))
             return {site: heads[site].init(jax.random.fold_in(rng, i),
@@ -170,8 +171,7 @@ class DisChnPrunedLearner(AbstractLearner):
         @jax.jit
         def block_ft_step(fparams, fbstats, pruned, aux, masks, opt_state,
                           batch, block_onehot):
-            images = augment(batch['image'], jax.random.PRNGKey(0), True)
-            labels = batch['label']
+            images, labels = augment_xy(batch, jax.random.PRNGKey(0), True)
 
             def loss_fn(pp, ax):
                 reg, dis, final = losses(pp, ax, fparams, fbstats, images, labels)
@@ -189,8 +189,7 @@ class DisChnPrunedLearner(AbstractLearner):
                            layer_onehot, block_onehot):
             """Per-input-channel gradient norms of the selection loss for the
             one-hot-selected layer — UNMASKED grads at the zeroed weights."""
-            images = augment(batch['image'], jax.random.PRNGKey(0), False)
-            labels = batch['label']
+            images, labels = augment_xy(batch, jax.random.PRNGKey(0), False)
             grads = jax.grad(selection_loss)(
                 pruned, aux, fparams, fbstats, images, labels,
                 layer_onehot, block_onehot)
@@ -208,8 +207,7 @@ class DisChnPrunedLearner(AbstractLearner):
         @jax.jit
         def layer_ft_step(fparams, fbstats, pruned, aux, masks, opt_state,
                           batch, layer_onehot, block_onehot):
-            images = augment(batch['image'], jax.random.PRNGKey(0), True)
-            labels = batch['label']
+            images, labels = augment_xy(batch, jax.random.PRNGKey(0), True)
             grads = jax.grad(selection_loss)(
                 pruned, aux, fparams, fbstats, images, labels,
                 layer_onehot, block_onehot)
@@ -256,8 +254,9 @@ class DisChnPrunedLearner(AbstractLearner):
 
     def choose_discr_chns(self, state: TrainState) -> TrainState:
         sample = next(self.dataset_train.build())
-        sample_images = self.dataset_train.augment(
-            jnp.asarray(sample['image'][:2]), jax.random.PRNGKey(0), False)
+        sample_images = self.dataset_train.augment_images(
+            {k: jnp.asarray(v[:2]) for k, v in sample.items()},
+            jax.random.PRNGKey(0), False)
         conv_paths, layer_to_block, head_sites = self.discover_structure(
             state.params, state.batch_stats, sample_images)
         programs = self._build_programs(conv_paths, head_sites)
@@ -360,8 +359,9 @@ class DisChnPrunedLearner(AbstractLearner):
     def evaluate(self) -> Dict[str, float]:
         state, _, _ = self.init_state()
         sample = next(self.dataset_train.build())
-        sample_images = self.dataset_train.augment(
-            jnp.asarray(sample['image'][:2]), jax.random.PRNGKey(0), False)
+        sample_images = self.dataset_train.augment_images(
+            {k: jnp.asarray(v[:2]) for k, v in sample.items()},
+            jax.random.PRNGKey(0), False)
         conv_paths, _, _ = self.discover_structure(
             state.params, state.batch_stats, sample_images)
 

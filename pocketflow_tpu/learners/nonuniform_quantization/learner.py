@@ -133,14 +133,13 @@ class NonUniformQuantLearner(AbstractLearner):
     def build_quant_train_step(self, tx):
         helper = self.model_helper
         model = self.model
-        augment = self.dataset_train.augment
+        augment_xy = self.dataset_train.augment_xy
         opt_mode = FLAGS.nuql_opt_mode
         loss_extra_fn = self.helper_dst.loss_extra_fn() if self.helper_dst else None
         policy_ctor = nuq_utils.NonUniformQuantPolicy
 
         def step_fn(state: TrainState, batch, rng):
-            images = augment(batch['image'], rng, True)
-            labels = batch['label']
+            images, labels = augment_xy(batch, rng, True)
 
             def loss_fn(params, codebooks):
                 policy = policy_ctor(codebooks, state.extra['a_bits'])

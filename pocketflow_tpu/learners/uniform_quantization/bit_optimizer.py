@@ -193,7 +193,7 @@ class BitOptimizer:
         from pocketflow_tpu.learners.capture import capture_forward
         learner = self.learner
         model = learner.model
-        augment = learner.dataset_train.augment
+        augment_images = learner.dataset_train.augment_images
         policy_fn = learner._policy_fn()
         tx = optax.adam(1e-3)
 
@@ -204,7 +204,7 @@ class BitOptimizer:
         @jax.jit
         def step(fparams, fbstats, state, opt_state, batch):
             import jax.numpy as jnp
-            images = augment(batch['image'], jax.random.PRNGKey(0), False)
+            images = augment_images(batch, jax.random.PRNGKey(0), False)
             targets = {p: jax.lax.stop_gradient(a) for p, a in capture_forward(
                 model, {'params': fparams, 'batch_stats': fbstats}, images)}
 

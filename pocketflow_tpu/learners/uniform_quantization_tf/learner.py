@@ -133,15 +133,14 @@ class UniformQuantTFLearner(AbstractLearner):
     def build_qat_train_step(self, tx, freeze_bn: bool):
         helper = self.model_helper
         model = self.model
-        augment = self.dataset_train.augment
+        augment_xy = self.dataset_train.augment_xy
         weight_paths = self.statistics['weight_paths']
         ema = FLAGS.uqtf_ema_decay
         quant_delay = FLAGS.uqtf_quant_delay
         loss_extra_fn = self.helper_dst.loss_extra_fn() if self.helper_dst else None
 
         def step_fn(state: TrainState, batch, rng):
-            images = augment(batch['image'], rng, True)
-            labels = batch['label']
+            images, labels = augment_xy(batch, rng, True)
             enabled = state.step >= quant_delay
 
             def loss_fn(params):

@@ -118,13 +118,13 @@ class WeightSparseLearner(AbstractLearner):
         """Eval step that also reports overall pruning ratios (learner.py:244-258)."""
         helper = self.model_helper
         model = self.model
-        augment = self.dataset_eval.augment
+        augment_xy = self.dataset_eval.augment_xy
 
         def step_fn(state: TrainState, batch):
-            images = augment(batch['image'], jax.random.PRNGKey(0), False)
+            images, labels = augment_xy(batch, jax.random.PRNGKey(0), False)
             variables = {'params': state.params, 'batch_stats': state.batch_stats}
             outputs = helper.forward_eval(model, variables, images)
-            loss, metrics = helper.calc_loss(batch['label'], outputs, state.params)
+            loss, metrics = helper.calc_loss(labels, outputs, state.params)
             return {'loss': loss,
                     'pr_trn': masking.calc_prune_ratio(state.params),
                     'pr_msk': masking.calc_prune_ratio(state.params, maskable_only=True),

@@ -208,8 +208,9 @@ class PROptimizer:
         learner = self.learner
         model = self.model
         helper = self.helper
-        augment = learner.dataset_train.augment
-        augment_eval = learner.dataset_eval.augment
+        augment_images = learner.dataset_train.augment_images
+        augment_xy = learner.dataset_train.augment_xy
+        augment_xy_eval = learner.dataset_eval.augment_xy
         model_name = helper.model_name
         tx_rg = optax.adam(FLAGS.ws_lrn_rate_rg)
         tx_ft = optax.adam(FLAGS.ws_lrn_rate_ft)
@@ -237,7 +238,7 @@ class PROptimizer:
 
         @jax.jit
         def rg_step(fparams, fbstats, pruned, masks, opt_state, batch):
-            images = augment(batch['image'], jax.random.PRNGKey(0), False)
+            images = augment_images(batch, jax.random.PRNGKey(0), False)
             targets = full_forward_captured(fparams, fbstats, images)
 
             def loss_fn(pp):
@@ -266,8 +267,7 @@ class PROptimizer:
         @jax.jit
         def ft_step(pruned, bstats, masks, opt_state, batch):  # noqa: D401
             rng = jax.random.PRNGKey(0)
-            images = augment(batch['image'], rng, True)
-            labels = batch['label']
+            images, labels = augment_xy(batch, rng, True)
 
             def loss_fn(pp):
                 variables = {'params': pp, 'batch_stats': bstats}
@@ -282,10 +282,10 @@ class PROptimizer:
 
         @jax.jit
         def feval_step(pruned, bstats, batch):
-            images = augment_eval(batch['image'], jax.random.PRNGKey(0), False)
+            images, labels = augment_xy_eval(batch, jax.random.PRNGKey(0), False)
             variables = {'params': pruned, 'batch_stats': bstats}
             outputs = helper.forward_eval(model, variables, images)
-            _, metrics = helper.calc_loss(batch['label'], outputs, pruned)
+            _, metrics = helper.calc_loss(labels, outputs, pruned)
             return metrics['accuracy']
 
         return ({'init': rollout_init, 'step': rg_step},

@@ -195,3 +195,50 @@ def test_full_frame_ilsvrc_storage_and_extent_crops(tmp_path):
     cc = augment.center_crop_resize(jnp.asarray(img), (16, 16),
                                     valid_hw=jnp.asarray([[40.0, 30.0]]))
     assert int(np.asarray(cc).min()) >= 199
+
+
+def test_augment_xy_unpacks_packed_labels():
+    """Custom learner steps consume batches through augment_xy /
+    augment_images; on full-frame ILSVRC storage the packed [n, 3]
+    (class, vh, vw) label rows must come back as plain int classes —
+    feeding batch['label'] raw into calc_loss would one_hot a float
+    [B, 3] row (the round-3 review finding this locks down)."""
+    import jax
+    from pocketflow_tpu.config import FLAGS as _F
+    from pocketflow_tpu.datasets.ilsvrc12 import Ilsvrc12Dataset
+
+    with _F.scope(batch_size=2, synthetic_data=True):
+        ds = Ilsvrc12Dataset(is_train=True)
+    packed = {'image': jnp.zeros((2, 48, 64, 3), jnp.uint8),
+              'label': jnp.asarray([[7.0, 40.0, 30.0], [3.0, 48.0, 64.0]])}
+    for is_train in (True, False):
+        images, labels = jax.jit(
+            lambda b, t=is_train: ds.augment_xy(b, jax.random.PRNGKey(0), t)
+        )(packed)
+        assert labels.dtype == jnp.int32 and labels.shape == (2,)
+        np.testing.assert_array_equal(np.asarray(labels), [7, 3])
+        assert images.shape == (2, 224, 224, 3)
+    assert ds.augment_images(packed, jax.random.PRNGKey(0), False).shape \
+        == (2, 224, 224, 3)
+    # plain int labels pass through untouched
+    plain = {'image': jnp.zeros((2, 224, 224, 3), jnp.uint8),
+             'label': jnp.asarray([1, 2], jnp.int32)}
+    _, labels = ds.augment_xy(plain, jax.random.PRNGKey(0), True)
+    np.testing.assert_array_equal(np.asarray(labels), [1, 2])
+
+
+def test_no_learner_consumes_raw_batch_labels():
+    """Source-scan guard: every custom learner step must go through
+    augment_xy / augment_images / augment_batch — the raw
+    `augment(batch['image']) + batch['label']` pattern silently breaks on
+    packed full-frame label rows."""
+    import glob as _glob
+    root = os.path.join(os.path.dirname(__file__), '..', 'pocketflow_tpu',
+                        'learners')
+    offenders = []
+    for path in _glob.glob(os.path.join(root, '**', '*.py'), recursive=True):
+        with open(path) as fh:
+            src = fh.read()
+        if "augment(batch['image']" in src or "batch['label']" in src:
+            offenders.append(os.path.relpath(path, root))
+    assert not offenders, offenders

@@ -60,6 +60,58 @@ def test_hdfs_disk_requires_host_and_dir():
             resolve_data_dir()
 
 
+def test_stage_election_loser_waits_for_winner(tmp_path):
+    """A process that loses the host-local staging election waits for the
+    winner's copy to land (lock dir gone + dst present) instead of assuming
+    a global primary staged it — multi-host pods have per-VM disks."""
+    import os
+    import threading
+    from pocketflow_tpu.datasets import remote_fs
+
+    _write_cifar_bin(tmp_path / 'remote' / 'cifar10')
+    cache = tmp_path / 'cache'
+    cache.mkdir()
+    url = 'file://%s/cifar10' % (tmp_path / 'remote')
+    import hashlib
+    dst = os.path.join(str(cache), hashlib.sha1(url.encode()).hexdigest()[:16])
+    os.mkdir(dst + '.lock')  # another process is mid-staging
+
+    def winner_finishes():
+        remote_fs._stage(url, dst)
+        os.rmdir(dst + '.lock')
+
+    t = threading.Timer(0.3, winner_finishes)
+    t.start()
+    try:
+        with FLAGS.scope(data_disk='hdfs',
+                         data_hdfs_host='file://%s' % (tmp_path / 'remote'),
+                         data_dir_hdfs='cifar10', data_cache_dir=str(cache),
+                         data_stage_timeout=30.0):
+            assert remote_fs.resolve_data_dir() == dst
+            assert os.path.exists(os.path.join(dst, 'data_batch_1.bin'))
+    finally:
+        t.join()
+
+
+def test_stage_election_times_out_on_stale_lock(tmp_path):
+    import hashlib
+    import os
+    from pocketflow_tpu.datasets import remote_fs
+
+    (tmp_path / 'remote' / 'cifar10').mkdir(parents=True)
+    cache = tmp_path / 'cache'
+    cache.mkdir()
+    url = 'file://%s/cifar10' % (tmp_path / 'remote')
+    dst = os.path.join(str(cache), hashlib.sha1(url.encode()).hexdigest()[:16])
+    os.mkdir(dst + '.lock')  # crashed run left the lock, no dst ever appears
+    with FLAGS.scope(data_disk='hdfs',
+                     data_hdfs_host='file://%s' % (tmp_path / 'remote'),
+                     data_dir_hdfs='cifar10', data_cache_dir=str(cache),
+                     data_stage_timeout=1.0):
+        with pytest.raises(RuntimeError, match='stale lock'):
+            remote_fs.resolve_data_dir()
+
+
 def test_path_conf_routes_hdfs_entries(tmp_path):
     from pocketflow_tpu.utils.path_args import apply_path_conf
     conf = tmp_path / 'path.conf'
