@@ -48,6 +48,7 @@ def test_rpn_targets_and_loss():
     assert float(good) < float(bad)
 
 
+@pytest.mark.slow
 def test_faster_rcnn_forward_and_train_smoke(tmp_path):
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
     from pocketflow_tpu.nets.faster_rcnn_at_pascalvoc import ModelHelper
@@ -151,6 +152,7 @@ def test_frcnn_resnet_backbone_policies_reach_convs():
         assert len(specs) >= 18
 
 
+@pytest.mark.slow
 def test_frcnn_warm_start_grafts_classifier_trunk(tmp_path):
     """The reference's FRCNN recipe: graft a classification checkpoint into
     the detection backbone (faster_rcnn_at_pascalvoc.py backbone restore).

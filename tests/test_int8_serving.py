@@ -86,6 +86,7 @@ def test_quant_coverage_verification():
     assert report['unquantized_weights'] == [some]
 
 
+@pytest.mark.slow
 def test_int8_depthwise_serving():
     """Depthwise convs also run int8 (MobileNet serving path)."""
     from pocketflow_tpu.nets.mobilenet import MobileNetV1

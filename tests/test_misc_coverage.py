@@ -200,6 +200,7 @@ def test_download_model_fetches_and_extracts(tmp_path):
             learner.download_model()
 
 
+@pytest.mark.slow
 def test_remat_blocks_covers_mobilenet():
     """maybe_remat wraps MobileNet blocks too; grads stay bit-identical."""
     import jax

@@ -14,6 +14,7 @@ def _helper():
     return ModelHelper()
 
 
+@pytest.mark.slow
 def test_train_resumes_from_checkpoint(tmp_path):
     """Interrupt training mid-way; a fresh learner must resume at the saved
     step and finish without repeating completed iterations."""

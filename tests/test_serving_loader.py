@@ -77,6 +77,7 @@ def test_quant_artifact_serves_dequantized(tmp_path, small_scope):
     assert float(np.max(np.abs(got - ref))) < 0.1 * spread
 
 
+@pytest.mark.slow
 def test_residual_artifact_serves_shrunk_model(tmp_path, small_scope):
     from pocketflow_tpu.tools.serving import load_serving_model
     from tests.test_shrink_residual import _zero_in_channels

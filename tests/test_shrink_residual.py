@@ -247,6 +247,7 @@ def test_shrunk_model_serves_with_smaller_convs():
     assert nb_small < nb_orig
 
 
+@pytest.mark.slow
 def test_mobilenet_width_mapped_serving():
     """MobileNet-v1 (the reference's channel-pruning model family) serves the
     shrunk checkpoint through width_map with identical logits."""
@@ -278,6 +279,7 @@ def test_mobilenet_width_mapped_serving():
     assert dw_k.shape[3] == pw_prev.shape[3]
 
 
+@pytest.mark.slow
 def test_int8_serving_composes_with_shrunk_model():
     """Compression policies (int8 PTQ) apply unchanged to width-mapped
     shrunk models — the deployment stack composes."""

@@ -95,6 +95,7 @@ def test_tp_composes_with_quantization():
     np.testing.assert_allclose(dp, tp, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_composes_with_weight_sparsification():
     """WS under TP: mask/backup trees follow their kernels' shardings."""
     from pocketflow_tpu.learners.weight_sparsification.learner import WeightSparseLearner

@@ -58,6 +58,7 @@ def test_quant_policy_channel_buckets():
         assert len(np.unique(q[..., c])) <= 4
 
 
+@pytest.mark.slow
 def test_uniform_quant_end_to_end(tmp_path):
     """Pretrain a baseline, then QAT at 8 bits keeps accuracy."""
     from pocketflow_tpu.learners.full_precision import FullPrecLearner

@@ -88,6 +88,7 @@ def test_mask_gradients_zero_pruned_positions():
 # end-to-end: uniform protocol on the tiny ConvNet
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_weight_sparse_uniform_end_to_end(tmp_path):
     from pocketflow_tpu.learners.weight_sparsification import masking
     from pocketflow_tpu.learners.weight_sparsification.learner import WeightSparseLearner
