@@ -26,12 +26,32 @@ IMAGENET_MEAN = (123.675, 116.28, 103.53)
 IMAGENET_STD = (58.395, 57.12, 57.375)
 
 
+FLAGS.DEFINE_integer(
+    'ilsvrc_image_size', None,
+    'override the 224x224 ILSVRC input resolution (synthetic/benchmark runs '
+    'only — e.g. the MobileNet parity strip at 96 keeps the 1-core host + '
+    'tunnel cost sane; real shard files are always 224)')
+FLAGS.DEFINE_string(
+    'ilsvrc_augment', 'inception',
+    "train-time preprocessing: 'inception' = the reference's distorted "
+    "area/aspect crops; 'mild' = center crop + horizontal flip only (the "
+    "synthetic parity strips use this — position-locked template tasks are "
+    "destroyed by aggressive crops)")
+
+
 class Ilsvrc12Dataset(AbstractDataset):
     # nb_classes = 1001 (class 0 = background) matching the reference
     SPEC = DatasetSpec(
         name='ilsvrc_12', nb_classes=1001,
         nb_smpls_train=1281167, nb_smpls_val=10000, nb_smpls_eval=50000,
         batch_size=64, batch_size_eval=100, image_shape=(224, 224, 3))
+
+    def __init__(self, is_train: bool):
+        super().__init__(is_train)
+        size = FLAGS.get('ilsvrc_image_size')
+        if size:
+            from dataclasses import replace
+            self.spec = replace(self.spec, image_shape=(int(size), int(size), 3))
 
     def _load_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
         from pocketflow_tpu.datasets.remote_fs import resolve_data_dir
@@ -88,7 +108,11 @@ class Ilsvrc12Dataset(AbstractDataset):
         if is_train:
             import jax
             k_crop, k_flip = jax.random.split(rng)
-            if images.shape[1:3] != tuple(out_hw) or valid_hw is not None:
+            if FLAGS.get('ilsvrc_augment') == 'mild':
+                if images.shape[1:3] != tuple(out_hw) or valid_hw is not None:
+                    images = augment.center_crop_resize(images, out_hw,
+                                                        valid_hw=valid_hw)
+            elif images.shape[1:3] != tuple(out_hw) or valid_hw is not None:
                 images = augment.random_crop_resize(images, k_crop, out_hw,
                                                     valid_hw=valid_hw)
             images = augment.random_flip_lr(images, k_flip)

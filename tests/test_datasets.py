@@ -227,6 +227,41 @@ def test_augment_xy_unpacks_packed_labels():
     np.testing.assert_array_equal(np.asarray(labels), [1, 2])
 
 
+def test_ilsvrc_image_size_and_mild_augment_flags():
+    """The parity strips run ILSVRC models at reduced resolution with
+    crop-free train preprocessing (--ilsvrc_image_size / --ilsvrc_augment):
+    the spec must follow the size override, and 'mild' train augmentation
+    must be deterministic up to horizontal flip (no random crops)."""
+    import jax
+    from pocketflow_tpu.datasets.ilsvrc12 import Ilsvrc12Dataset
+
+    with FLAGS.scope(batch_size=2, synthetic_data=True, ilsvrc_image_size=96,
+                     ilsvrc_augment='mild'):
+        ds = Ilsvrc12Dataset(is_train=True)
+        assert ds.spec.image_shape == (96, 96, 3)
+        imgs, _ = ds.synthesize_arrays(4)
+        assert imgs.shape[1:] == (96, 96, 3)
+        batch = jnp.asarray(imgs[:2])
+        outs = [np.asarray(ds.augment(batch, jax.random.PRNGKey(s), True))
+                for s in range(6)]
+        base = np.asarray(ds.augment(batch, jax.random.PRNGKey(0), False))
+        for out in outs:  # every draw is the eval image or its mirror
+            for i in range(2):
+                same = np.allclose(out[i], base[i], atol=1e-5)
+                flipped = np.allclose(out[i], base[i][:, ::-1], atol=1e-5)
+                assert same or flipped
+
+    with FLAGS.scope(batch_size=2, synthetic_data=True, ilsvrc_image_size=96):
+        ds = Ilsvrc12Dataset(is_train=True)
+        # default 'inception' augment still randomizes crops on oversized input
+        big = jnp.asarray(np.random.default_rng(0).integers(
+            0, 255, size=(2, 128, 128, 3), dtype=np.uint8))
+        a = np.asarray(ds.augment(big, jax.random.PRNGKey(1), True))
+        b = np.asarray(ds.augment(big, jax.random.PRNGKey(2), True))
+        assert a.shape == (2, 96, 96, 3)
+        assert not np.allclose(a, b)
+
+
 def test_no_learner_consumes_raw_batch_labels():
     """Source-scan guard: every custom learner step must go through
     augment_xy / augment_images / augment_batch — the raw

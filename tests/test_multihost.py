@@ -146,6 +146,69 @@ def test_two_process_data_parallel(tmp_path):
     assert em['loss'] == pytest.approx(results[0][2], abs=2e-3)
 
 
+_STAGE_WORKER = textwrap.dedent('''
+    import os, sys, time
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]; tmp = sys.argv[3]
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                               num_processes=2, process_id=pid)
+    if pid == 1:
+        time.sleep(3.0)  # arrive AFTER the winner os.replace()d the cache:
+                         # a skip-if-cached barrier would deadlock rank 0
+    sys.path.insert(0, %(repo)r)
+    import pocketflow_tpu
+    from pocketflow_tpu.config import FLAGS
+    import numpy as np
+    with FLAGS.scope(data_disk="hdfs",
+                     data_hdfs_host="file://" + tmp + "/remote",
+                     data_dir_hdfs="cifar10",
+                     data_cache_dir=tmp + "/cache",
+                     batch_size=4, nb_smpls_train=20, synthetic_data=False,
+                     enbl_native_loader=False, rand_seed=0):
+        from pocketflow_tpu.datasets.cifar10 import Cifar10Dataset
+        ds = Cifar10Dataset(is_train=True)
+        images, labels = ds._load_arrays()
+    print("STAGED", pid, int(np.asarray(labels).sum()), flush=True)
+''')
+
+
+@pytest.mark.slow
+def test_two_process_remote_staging_election_and_barrier(tmp_path):
+    """data_disk=hdfs under real 2-process jax.distributed: one process wins
+    the host-local staging election, the late arriver sees the cache already
+    present — and BOTH must still meet the stage_remote_data barrier (the
+    round-3 review's deadlock scenario) and read the same real records."""
+    rng = np.random.RandomState(7)
+    record = 1 + 3072
+    raw = rng.randint(0, 256, size=(20 * record,), dtype=np.int64).astype('uint8')
+    raw.reshape(-1, record)[:, 0] %= 10
+    remote = tmp_path / 'remote' / 'cifar10'
+    remote.mkdir(parents=True)
+    raw.tofile(remote / 'data_batch_1.bin')
+    want = int(raw.reshape(-1, record)[:, 0].astype(np.int64).sum())
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    script = _STAGE_WORKER % {'repo': repo}
+    procs = [subprocess.Popen(
+        [sys.executable, '-c', script, str(i), '29541', str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    sums = {}
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-2000:]
+        for line in out.splitlines():
+            if line.startswith('STAGED'):
+                _, pid, s = line.split()
+                sums[int(pid)] = int(s)
+    assert sums == {0: want, 1: want}
+
+
 _DET_WORKER = textwrap.dedent('''
     import os, sys
     os.environ["JAX_PLATFORMS"] = "cpu"
