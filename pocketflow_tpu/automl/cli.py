@@ -29,6 +29,8 @@ def parse_space(spec: str):
 
 
 def main(argv=None):
+    from pocketflow_tpu.utils.devices import honor_jax_platforms
+    honor_jax_platforms()
     import pocketflow_tpu  # noqa: F401
     from pocketflow_tpu.automl import search as search_lib
     from pocketflow_tpu.config import FLAGS

@@ -24,11 +24,9 @@ import numpy as np
 import optax
 
 from pocketflow_tpu.config import FLAGS
-from pocketflow_tpu.core import schedules
 from pocketflow_tpu.learners.abstract_learner import AbstractLearner, TrainState
 from pocketflow_tpu.learners.nonuniform_quantization import utils as nuq_utils
 from pocketflow_tpu.learners.uniform_quantization import utils as uq_utils
-from pocketflow_tpu.learners.uniform_quantization.learner import setup_bnds_decay_rates
 
 
 class NonUniformQuantLearner(AbstractLearner):
@@ -61,16 +59,12 @@ class NonUniformQuantLearner(AbstractLearner):
         return policy_fn
 
     def quant_schedule(self):
-        bnd_epochs, decay_rates = setup_bnds_decay_rates(
-            self.model_name, self.dataset_name)
-        nb_smpls = self.dataset_train.spec.nb_smpls_train
-        schedule = schedules.piecewise_constant(
-            self.global_batch_size, bnd_epochs, decay_rates,
-            nb_smpls)
-        finetune_steps = max(1, int(
-            nb_smpls * FLAGS.nuql_quant_epochs * FLAGS.nb_epochs_rat
-            / self.global_batch_size))
-        return schedule, finetune_steps
+        from pocketflow_tpu.learners.uniform_quantization.learner import (
+            quant_finetune_schedule)
+        return quant_finetune_schedule(
+            self.model_name, self.dataset_name,
+            self.dataset_train.spec.nb_smpls_train, self.global_batch_size,
+            quant_epochs=FLAGS.nuql_quant_epochs)
 
     def init_state_quant(self, w_bit_list=None, a_bit_list=None):
         """Init with codebooks in extra; bits fixed per call (codebook shapes

@@ -41,6 +41,21 @@ def setup_bnds_decay_rates(model_name: str, dataset_name: str):
     return bnd_epochs, decay_rates
 
 
+def quant_finetune_schedule(model_name: str, dataset_name: str,
+                            nb_smpls: int, global_batch_size: int,
+                            quant_epochs: float = None):
+    """Shared quant-finetune LR schedule + step count — one copy for the
+    uql/nuql/uqtf learners (they follow the same finetune convention;
+    nuql passes its own epoch flag)."""
+    bnd_epochs, decay_rates = setup_bnds_decay_rates(model_name, dataset_name)
+    schedule = schedules.piecewise_constant(
+        global_batch_size, bnd_epochs, decay_rates, nb_smpls)
+    epochs = quant_epochs if quant_epochs is not None else FLAGS.uql_quant_epochs
+    finetune_steps = max(1, int(
+        nb_smpls * epochs * FLAGS.nb_epochs_rat / global_batch_size))
+    return schedule, finetune_steps
+
+
 class UniformQuantLearner(AbstractLearner):
     """Uniform quantization of weights (and optionally activations)."""
 
@@ -79,16 +94,9 @@ class UniformQuantLearner(AbstractLearner):
 
     def quant_schedule(self) -> Tuple[schedules.Schedule, int]:
         """Piecewise finetune schedule + step count (learner.py:51-71)."""
-        bnd_epochs, decay_rates = setup_bnds_decay_rates(
-            self.model_name, self.dataset_name)
-        nb_smpls = self.dataset_train.spec.nb_smpls_train
-        schedule = schedules.piecewise_constant(
-            self.global_batch_size, bnd_epochs, decay_rates,
-            nb_smpls)
-        finetune_steps = max(1, int(
-            nb_smpls * FLAGS.uql_quant_epochs * FLAGS.nb_epochs_rat
-            / self.global_batch_size))
-        return schedule, finetune_steps
+        return quant_finetune_schedule(
+            self.model_name, self.dataset_name,
+            self.dataset_train.spec.nb_smpls_train, self.global_batch_size)
 
     def init_state_quant(self, w_bit_list=None, a_bit_list=None):
         """Init state whose extra carries the per-layer bit arrays."""

@@ -33,10 +33,10 @@ import numpy as np
 import optax
 
 from pocketflow_tpu.config import FLAGS
-from pocketflow_tpu.core import schedules
 from pocketflow_tpu.learners.abstract_learner import AbstractLearner, TrainState
 from pocketflow_tpu.learners.uniform_quantization import utils as uq_utils
-from pocketflow_tpu.learners.uniform_quantization.learner import setup_bnds_decay_rates
+from pocketflow_tpu.learners.uniform_quantization.learner import (
+    quant_finetune_schedule)
 from pocketflow_tpu.nn.layers import CompressionPolicy
 from pocketflow_tpu.ops import fake_quant as fq
 
@@ -51,7 +51,12 @@ FLAGS.DEFINE_integer('uqtf_quant_delay', 0,
                      'UQ-TF: # of steps after which quantization starts')
 FLAGS.DEFINE_integer('uqtf_freeze_bn_delay', None,
                      'UQ-TF: # of steps after which BN statistics freeze')
-FLAGS.DEFINE_float('uqtf_lrn_rate_dcy', 1e-2, "UQ-TF: learning rate's decaying factor")
+FLAGS.DEFINE_float('uqtf_lrn_rate_dcy', 1.0,
+                   "UQ-TF: finetune learning-rate scale factor (the reference "
+                   "multiplies its BASE model LR by this, default 1e-2; here "
+                   "the quant finetune schedule already encodes the decayed "
+                   "rate, so 1.0 reproduces the recipe and other values "
+                   "rescale it)")
 FLAGS.DEFINE_boolean('uqtf_enbl_manual_quant', False,
                      'UQ-TF: manually insert activation quant sites '
                      '(always on here: the policy reaches every relu)')
@@ -62,11 +67,19 @@ class RangeQuantPolicy(CompressionPolicy):
     """Quantizes weights per-channel and activations against EMA ranges;
     records each site's batch min/max for the EMA update."""
 
-    def __init__(self, weight_paths, act_min, act_max, enabled):
+    def __init__(self, weight_paths, act_min, act_max, enabled,
+                 w_bits=None, a_bits=None):
         self.w_index = {p: i for i, p in enumerate(weight_paths)}
         self.act_min = act_min
         self.act_max = act_max
         self.enabled = enabled  # traced bool (step >= quant_delay)
+        # explicit bit widths make exported specs self-contained: deployment
+        # export must quantize at the TRAINED widths even if the flags differ
+        # in the exporting process
+        self.w_bits = float(w_bits if w_bits is not None
+                            else FLAGS.uqtf_weight_bits)
+        self.a_bits = float(a_bits if a_bits is not None
+                            else FLAGS.uqtf_activation_bits)
         self.batch_ranges: List[Tuple[int, jax.Array, jax.Array]] = []
 
     def reset_trace(self):
@@ -77,7 +90,7 @@ class RangeQuantPolicy(CompressionPolicy):
         if path not in self.w_index:
             return kernel
         q = fq.fake_quant_channel_bucket(
-            kernel, jnp.asarray(float(FLAGS.uqtf_weight_bits), jnp.float32))
+            kernel, jnp.asarray(self.w_bits, jnp.float32))
         return jnp.where(self.enabled, q, kernel)
 
     def process_act(self, path, act):
@@ -89,7 +102,7 @@ class RangeQuantPolicy(CompressionPolicy):
         self.batch_ranges.append((idx, bmin, bmax))
         q = fq.fake_quant_with_range(
             act, self.act_min[idx], self.act_max[idx],
-            jnp.asarray(float(FLAGS.uqtf_activation_bits), jnp.float32))
+            jnp.asarray(self.a_bits, jnp.float32))
         return jnp.where(self.enabled, q, act)
 
 
@@ -117,15 +130,15 @@ class UniformQuantTFLearner(AbstractLearner):
         extra = {'act_min': jnp.zeros(nb_acts, jnp.float32),
                  'act_max': jnp.full(nb_acts, 6.0, jnp.float32)}
         state, _, _ = self.init_state(extra=extra)
-        bnd_epochs, decay_rates = setup_bnds_decay_rates(
-            self.model_name, self.dataset_name)
-        nb_smpls = self.dataset_train.spec.nb_smpls_train
-        schedule = schedules.piecewise_constant(
-            self.global_batch_size, bnd_epochs, decay_rates,
-            nb_smpls)
-        self.finetune_steps = max(1, int(
-            nb_smpls * FLAGS.uql_quant_epochs * FLAGS.nb_epochs_rat
-            / self.global_batch_size))
+        base, self.finetune_steps = quant_finetune_schedule(
+            self.model_name, self.dataset_name,
+            self.dataset_train.spec.nb_smpls_train, self.global_batch_size)
+        # the reference multiplies its base model LR by uqtf_lrn_rate_dcy
+        # (learner.py:215); here the quant finetune schedule already encodes
+        # the decayed rate, so the factor defaults to 1.0 and rescales the
+        # whole finetune schedule when set
+        dcy = float(FLAGS.uqtf_lrn_rate_dcy)
+        schedule = base if dcy == 1.0 else (lambda step: base(step) * dcy)
         tx = optax.sgd(learning_rate=schedule, momentum=FLAGS.momentum)
         state = state.replace(opt_state=self.init_opt_state(tx, state.params))
         return state, tx, schedule
@@ -202,7 +215,15 @@ class UniformQuantTFLearner(AbstractLearner):
 
     def train(self) -> TrainState:
         state, tx, _ = self.init_state_quant()
-        state, _ = self.restore_baseline(state)
+        # resume from this learner's own checkpoints first (a preempted run
+        # must not silently retrain from the full-precision baseline —
+        # run_train_loop resumes from state.step, this loop mirrors that)
+        resumed = self.restore_model(state, FLAGS.uqtf_save_path)
+        if resumed is not None:
+            state = resumed
+        else:
+            state, _ = self.restore_baseline(state)
+        start_iter = int(jax.device_get(state.step))
 
         step_bn = self.build_qat_train_step(tx, freeze_bn=False)
         step_frozen = self.build_qat_train_step(tx, freeze_bn=True)
@@ -213,7 +234,7 @@ class UniformQuantTFLearner(AbstractLearner):
         # (multi-host correct) with 2 copies in flight, like run_train_loop
         iterator = self.device_prefetch(self.dataset_train.build())
         base_rng = self.next_rng()
-        for idx_iter in range(self.finetune_steps):
+        for idx_iter in range(start_iter, self.finetune_steps):
             use_frozen = freeze_at is not None and idx_iter >= freeze_at
             step = step_frozen if use_frozen else step_bn
             state, metrics = step(state, next(iterator),

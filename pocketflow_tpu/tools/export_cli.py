@@ -23,6 +23,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from pocketflow_tpu.utils.devices import honor_jax_platforms
+    honor_jax_platforms()
     import pocketflow_tpu  # noqa: F401
     from pocketflow_tpu.config import FLAGS
     from pocketflow_tpu.core import checkpoint as ckpt_lib
@@ -177,7 +179,8 @@ def main(argv=None):
     serving_model, serving_vars = model, variables
     if FLAGS.export_mode == 'chn-pruned-residual' and hasattr(model, 'width_map'):
         from pocketflow_tpu.tools import shrink_graph as sg
-        serving_model = model.clone(width_map=sg.width_map_from_packed(packed))
+        serving_model = model.clone(width_map=sg.width_map_from_packed(
+            packed, manifest=manifest))
         serving_vars = sg.variables_from_packed(packed)
         log.info('serving artifacts use the width-mapped shrunk model')
     if FLAGS.export_saved_model:

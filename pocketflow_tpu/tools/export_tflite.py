@@ -83,10 +83,14 @@ def build_qat_deploy_forward(model, variables, qat_spec: Dict):
     act_min = np.asarray(qat_spec['act_min'], np.float32)
     act_max = np.asarray(qat_spec['act_max'], np.float32)
     w_bits = float(qat_spec.get('weight_bits', 8))
+    a_bits = float(qat_spec.get('act_bits', 8))
     host_vars = jax.device_get(variables)
 
     def fold(path, leaf):
-        if masking.path_str(path) in weight_paths:
+        # weight_paths are MODULE paths (the policy's process_weight key);
+        # params-tree leaves are '<module>/kernel'
+        pstr = masking.path_str(path)
+        if pstr.endswith('/kernel') and pstr[:-len('/kernel')] in weight_paths:
             return fq.fake_quant_channel_bucket(
                 leaf, jnp.asarray(w_bits, jnp.float32))
         return leaf
@@ -98,7 +102,7 @@ def build_qat_deploy_forward(model, variables, qat_spec: Dict):
 
     class _ClipPolicy(CompressionPolicy):
         def process_act(self, path, act):
-            if not path.startswith('act/'):
+            if not path.startswith('act/') or act_min.shape[0] == 0:
                 return act
             idx = int(path.split('/')[1])
             return jnp.clip(act, float(act_min[idx]), float(act_max[idx]))
@@ -108,9 +112,11 @@ def build_qat_deploy_forward(model, variables, qat_spec: Dict):
             return model.apply(deploy_vars, images, train=False)
 
     def qat_reference_forward(images):
+        # bits come from the SPEC, not FLAGS: the exporting process may not
+        # have the training run's flag values
         pol = RangeQuantPolicy(list(qat_spec['weight_paths']),
                                jnp.asarray(act_min), jnp.asarray(act_max),
-                               jnp.asarray(True))
+                               jnp.asarray(True), w_bits=w_bits, a_bits=a_bits)
         with compression(pol):
             return model.apply(host_vars, images, train=False)
 

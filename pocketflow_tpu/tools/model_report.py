@@ -76,6 +76,8 @@ def format_report(report: Dict[str, Any]) -> str:
 
 
 def main(argv=None):
+    from pocketflow_tpu.utils.devices import honor_jax_platforms
+    honor_jax_platforms()
     import pocketflow_tpu  # noqa: F401
     from pocketflow_tpu.config import FLAGS
     from pocketflow_tpu.core import checkpoint as ckpt_lib

@@ -58,7 +58,8 @@ def load_serving_model(artifact_path: str, model) -> Tuple[Any, Dict[str, Any]]:
     if manifest.get('components'):
         # residual-aware shrink: serve the physically smaller network
         if hasattr(model, 'width_map'):
-            model = model.clone(width_map=sg.width_map_from_packed(packed))
+            model = model.clone(width_map=sg.width_map_from_packed(
+                packed, manifest=manifest))
             log.info('serving the width-mapped shrunk model')
         variables = sg.variables_from_packed(packed)
         return model, variables
@@ -88,6 +89,8 @@ def main(argv=None):
     python -m pocketflow_tpu.tools.serving --artifact=./export/model.npz \\
         --export_model=resnet_at_cifar10 [--serve_batch=64]
     """
+    from pocketflow_tpu.utils.devices import honor_jax_platforms
+    honor_jax_platforms()
     import sys
 
     import jax

@@ -92,12 +92,15 @@ class ConvGraph:
 # ---------------------------------------------------------------------------
 
 _ELEMENTWISE = {
-    'convert_element_type', 'max', 'min', 'exp', 'log', 'tanh', 'logistic',
-    'rsqrt', 'sqrt', 'abs', 'sign', 'floor', 'ceil', 'round', 'clamp',
-    'integer_pow', 'pow', 'neg', 'select_n', 'stop_gradient', 'erf',
+    'convert_element_type', 'exp', 'log', 'tanh', 'logistic',
+    'rsqrt', 'sqrt', 'abs', 'sign', 'floor', 'ceil', 'round',
+    'integer_pow', 'pow', 'neg', 'stop_gradient', 'erf',
     'copy',
 }
-_BINARY = {'add', 'sub', 'mul', 'div'}
+# 'max'/'min' are two-operand: they need the merge/protect logic, not the
+# first-operand pass-through ('clamp'/'select_n' get dedicated branches —
+# their DATA operand is not invals[0])
+_BINARY = {'add', 'sub', 'mul', 'div', 'max', 'min'}
 
 
 def _param_paths_in_order(variables) -> List[Optional[str]]:
@@ -247,6 +250,14 @@ def capture_conv_graph(model, variables, sample_shape: Sequence[int],
                         protect(pa)
                         protect(pb)
                     prov[out] = merged
+                elif pa is not None and pb is not None:
+                    # BOTH operands tracked but shape-mismatched (SE-style
+                    # gating: features x broadcast gate): we cannot align
+                    # their channel axes, so be conservative — protect both
+                    # sides' producers and mark the result broken
+                    protect(pa)
+                    protect(pb)
+                    prov[out] = BROKEN
                 else:
                     # broadcast with per-channel params / scalars: pass through
                     prov[out] = pa if pa is not None else pb
@@ -292,6 +303,38 @@ def capture_conv_graph(model, variables, sample_shape: Sequence[int],
                     param_of[out] = get_param(src)
                 continue
 
+            if name == 'clamp':
+                # operand order is (min, x, max): the DATA operand is
+                # invals[1] — treating invals[0] as data would silently drop
+                # the clipped activation's provenance (relu6 via jnp.clip)
+                lo, src, hi = invals[0], invals[1], invals[2]
+                protect(get_prov(lo))
+                protect(get_prov(hi))
+                if get_prov(src) is not None and out is not None:
+                    prov[out] = get_prov(src)
+                if get_param(src) is not None and out is not None:
+                    param_of[out] = get_param(src)
+                continue
+
+            if name == 'select_n':
+                # (pred, case0, case1, ...): merge the case provenances like
+                # a residual add; a tracked predicate is only read
+                protect(get_prov(invals[0]))
+                case_provs = [get_prov(v) for v in invals[1:]]
+                tracked = [p for p in case_provs if p is not None]
+                if out is not None and tracked:
+                    if len(tracked) == len(case_provs):
+                        merged = tracked[0]
+                        for p in tracked[1:]:
+                            merged = _merge_prov(merged, p)
+                    else:
+                        merged = BROKEN  # mixed tracked/untracked branches
+                    if merged == BROKEN:
+                        for p in tracked:
+                            protect(p)
+                    prov[out] = merged
+                continue
+
             if name in ('reduce_window_max', 'reduce_window_sum',
                         'reduce_window', 'reduce_window_min'):
                 # pooling: window over spatial dims only in the zoo
@@ -335,7 +378,13 @@ def capture_conv_graph(model, variables, sample_shape: Sequence[int],
                 src = invals[0]
                 if get_param(src) is not None:
                     param_of[out] = get_param(src)
-                # per-channel param broadcast: no activation provenance
+                # per-channel param broadcast carries no activation
+                # provenance — but a TRACKED activation being broadcast
+                # (gating patterns) is read here, so protect its producers
+                # instead of silently dropping them
+                if get_prov(src) is not None:
+                    protect(get_prov(src))
+                    prov[out] = BROKEN
                 continue
 
             if name == 'transpose':
@@ -471,7 +520,8 @@ def shrink_residual_aware(params, batch_stats, graph: ConvGraph
             return None
         return norms == 0.0
 
-    manifest: Dict[str, Any] = {'components': [], 'leaf_slices': {}}
+    manifest: Dict[str, Any] = {'components': [], 'leaf_slices': {},
+                                'depthwise': sorted(graph.depthwise)}
 
     def record_slice(module_path: str, leaf: str, axis: int, comp_idx: int,
                      in_stats: bool = False):
@@ -528,12 +578,11 @@ def shrink_residual_aware(params, batch_stats, graph: ConvGraph
                        'kept_channels': keep.tolist(),
                        'orig_channels': nb_orig}
 
-        def slice_output_side(module_path: str):
-            """Producer-style slice: kernel out-dim, bias, BN params/stats."""
+        def slice_bias_and_bn(module_path: str):
+            """Slice a module's bias + its BN params/stats to `keep` — shared
+            by producers and depthwise consumers (whose in-dim slice IS the
+            channel dim, so their per-channel params follow too)."""
             module = _get_module(params, module_path)
-            k = np.asarray(module['kernel'])
-            module['kernel'] = k[..., keep]
-            record_slice(module_path, 'kernel', k.ndim - 1, comp_idx)
             if 'bias' in module:
                 module['bias'] = np.asarray(module['bias'])[keep]
                 record_slice(module_path, 'bias', 0, comp_idx)
@@ -557,6 +606,14 @@ def shrink_residual_aware(params, batch_stats, graph: ConvGraph
                             record_slice(bn_path + ('/bn' if inner else ''),
                                          key, 0, comp_idx, in_stats=True)
 
+        def slice_output_side(module_path: str):
+            """Producer-style slice: kernel out-dim, bias, BN params/stats."""
+            module = _get_module(params, module_path)
+            k = np.asarray(module['kernel'])
+            module['kernel'] = k[..., keep]
+            record_slice(module_path, 'kernel', k.ndim - 1, comp_idx)
+            slice_bias_and_bn(module_path)
+
         # producers: kernel out-dim, bias, and their BN params/stats
         for p in sorted(producers):
             slice_output_side(p)
@@ -567,28 +624,7 @@ def shrink_residual_aware(params, batch_stats, graph: ConvGraph
             module['kernel'] = np.take(k, keep, axis=s.in_dim)
             record_slice(s.consumer, 'kernel', s.in_dim, comp_idx)
             if s.depthwise:
-                if 'bias' in module:
-                    module['bias'] = np.asarray(module['bias'])[keep]
-                    record_slice(s.consumer, 'bias', 0, comp_idx)
-                for bn_path in _bn_candidates(s.consumer):
-                    bn_p = _get_module(params, bn_path)
-                    if bn_p is not None:
-                        inner = 'bn' if 'bn' in bn_p else None
-                        bn_p = bn_p.get('bn', bn_p)
-                        for key in ('scale', 'bias'):
-                            if key in bn_p:
-                                bn_p[key] = np.asarray(bn_p[key])[keep]
-                                record_slice(bn_path + ('/bn' if inner else ''),
-                                             key, 0, comp_idx)
-                    bn_s = _get_module(batch_stats, bn_path)
-                    if bn_s is not None:
-                        inner = 'bn' if 'bn' in bn_s else None
-                        bn_s = bn_s.get('bn', bn_s)
-                        for key in ('mean', 'var'):
-                            if key in bn_s:
-                                bn_s[key] = np.asarray(bn_s[key])[keep]
-                                record_slice(bn_path + ('/bn' if inner else ''),
-                                             key, 0, comp_idx, in_stats=True)
+                slice_bias_and_bn(s.consumer)
         manifest['components'].append(comp_record)
 
     packed = {}
@@ -652,20 +688,34 @@ def expand_to_dense(packed: Dict[str, Any], manifest: Dict[str, Any],
 # convs and run it)
 # ---------------------------------------------------------------------------
 
-def width_map_from_packed(packed: Dict[str, Any]) -> Dict[str, int]:
+def width_map_from_packed(packed: Dict[str, Any],
+                          manifest: Optional[Dict[str, Any]] = None,
+                          ) -> Dict[str, int]:
     """Per-module output-channel counts of a shrunk packed tree.
 
     Feed this as the zoo models' ``width_map`` to construct the physically
     smaller serving network (depthwise kernels are skipped — their width
-    follows the input automatically).
+    follows the input automatically).  Pass the shrink ``manifest`` when
+    available: it records the ACTUAL depthwise kernel paths from the traced
+    graph; without it a shape heuristic (shape[2] == 1) is used, which also
+    matches regular convs with a single input channel (grayscale stems, or
+    an input dim shrunk to one surviving channel).
     """
+    depthwise = set(manifest.get('depthwise', ())) if manifest else None
     wm = {}
     for pstr, arr in packed.items():
         if pstr.startswith('batch_stats/') or not pstr.endswith('/kernel'):
             continue
         arr = np.asarray(arr)
-        if arr.ndim == 4 and arr.shape[2] != 1:
-            wm[pstr[:-len('/kernel')]] = int(arr.shape[-1])
+        if arr.ndim != 4:
+            continue
+        module = pstr[:-len('/kernel')]
+        if depthwise is not None:
+            if module + '/kernel' in depthwise or module in depthwise:
+                continue
+        elif arr.shape[2] == 1:
+            continue
+        wm[module] = int(arr.shape[-1])
     return wm
 
 

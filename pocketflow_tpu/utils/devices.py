@@ -13,6 +13,17 @@ from typing import List, Optional
 import jax
 
 
+def honor_jax_platforms():
+    """Apply the JAX_PLATFORMS env var even when a sitecustomize pre-imported
+    jax with another platform baked in (the env var alone is ignored once jax
+    is imported).  CLI tools call this FIRST in main() — e.g. running the
+    export/serving tools with JAX_PLATFORMS=cpu on a host whose accelerator
+    tunnel is unavailable must not hang in backend init."""
+    import os
+    if os.environ.get('JAX_PLATFORMS'):
+        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
+
 def list_devices() -> List[jax.Device]:
     return list(jax.devices())
 

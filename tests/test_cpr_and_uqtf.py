@@ -88,3 +88,14 @@ def test_uqtf_end_to_end(tmp_path):
             assert np.any(np.abs(act_max - 6.0) > 1e-3)
             metrics = learner.run_eval_loop(state, learner.build_qat_eval_step())
             assert metrics['accuracy'] > 0.5
+
+            # resume contract: a second train() must pick up the saved
+            # checkpoint at its final step and run ZERO further iterations
+            # (a preempted job must not silently retrain from the baseline)
+            learner2 = UniformQuantTFLearner(None, ModelHelper())
+            state2 = learner2.train()
+            assert int(jax.device_get(state2.step)) == \
+                int(jax.device_get(state.step))
+            np.testing.assert_allclose(
+                np.asarray(jax.device_get(state2.extra['act_max'])),
+                act_max, atol=1e-6)

@@ -62,6 +62,49 @@ def test_capture_graph_finds_residual_merges():
     assert 'fc' in graph.protected
 
 
+@pytest.mark.slow
+def test_clamp_keeps_provenance_and_gating_protects():
+    """Round-3 review: lax.clamp's DATA operand is invals[1] (relu6 via
+    jnp.clip must not drop the conv's provenance), and SE-style gating
+    (mul with a broadcast tracked gate) must PROTECT both producers instead
+    of silently dropping one side."""
+    import flax.linen as nn
+    from pocketflow_tpu.tools import shrink_graph as sg
+
+    class ClipNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), name='conv1')(x)
+            x = jnp.clip(x, 0.0, 6.0)          # relu6 via lax.clamp
+            x = nn.Conv(8, (3, 3), name='conv2')(x)
+            return x.mean(axis=(1, 2))
+
+    model = ClipNet()
+    x = jnp.zeros((2, 8, 8, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    graph = sg.capture_conv_graph(model, variables, x.shape)
+    site = next(s for s in graph.sites if s.consumer == 'conv2')
+    assert site.clean and 'conv1' in site.producers
+
+    class GateNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            f = nn.Conv(8, (3, 3), name='feat')(x)
+            g = f.mean(axis=(1, 2), keepdims=True)
+            g = nn.Conv(8, (1, 1), name='gate')(g)
+            y = f * jax.nn.sigmoid(g)          # SE gating: broadcast mul
+            y = nn.Conv(8, (3, 3), name='head')(y)
+            return y.mean(axis=(1, 2))
+
+    model = GateNet()
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    graph = sg.capture_conv_graph(model, variables, x.shape)
+    # both sides of the gate mul are read with unalignable channel axes:
+    # their producers must be protected so no other clean consumer shrinks
+    # them out from under the gating
+    assert 'feat' in graph.protected and 'gate' in graph.protected
+
+
 def test_resnet_shrink_is_exact_and_physical():
     from pocketflow_tpu.tools import shrink_graph as sg
     model, variables, x = _build_resnet20()

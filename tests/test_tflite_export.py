@@ -101,6 +101,56 @@ def test_tflite_latency_protocol(small_model):
     assert res['mean_ms'] > 0.0 and res['p50_ms'] > 0.0
 
 
+def test_qat_deploy_fold_quantizes_listed_weights():
+    """The deploy forward's weight fold must actually fire: qat_spec's
+    weight_paths are MODULE paths while params leaves are '<module>/kernel'
+    (the round-3 review found the mismatch left weights unfolded), and the
+    fold must use the SPEC's bit width, not the process's current flags."""
+    import jax.numpy as jnp
+    from pocketflow_tpu.config import FLAGS
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+    from pocketflow_tpu.ops import fake_quant as fq
+    from pocketflow_tpu.tools import export_tflite as tfl
+
+    with FLAGS.scope(synthetic_data=True, compute_dtype='float32',
+                     rand_seed=0, batch_size=4, nb_smpls_train=64,
+                     nb_smpls_eval=64):
+        helper = ModelHelper()
+        model = helper.create_model()
+        sample = jnp.asarray(np.random.default_rng(0).random(
+            (2,) + helper.dataset_train.spec.image_shape), jnp.float32)
+        variables = helper.init_model(jax.random.PRNGKey(0), sample)
+        kernels = [p for p in _leaf_paths(variables['params'])
+                   if p.endswith('/kernel')]
+        modules = [p[:-len('/kernel')] for p in kernels]
+        spec = {'weight_paths': modules,
+                'act_min': np.zeros(0, np.float32),
+                'act_max': np.zeros(0, np.float32),
+                'weight_bits': 4, 'act_bits': 8}
+        # flags deliberately differ from the spec: the spec must win
+        with FLAGS.scope(uqtf_weight_bits=8, uqtf_activation_bits=8):
+            deploy_fwd, qat_ref = tfl.build_qat_deploy_forward(
+                model, variables, spec)
+        folded = deploy_fwd.__closure__  # noqa: F841 (fold happens eagerly)
+        out_deploy = np.asarray(jax.device_get(deploy_fwd(sample)))
+        out_ref = np.asarray(jax.device_get(qat_ref(sample)))
+        # with no act sites, deploy (folded weights) == QAT reference
+        # (policy-quantized weights) exactly — both on the 4-bit grid
+        np.testing.assert_allclose(out_deploy, out_ref, atol=1e-5)
+        # and the fold genuinely changed the function vs the float model
+        out_float = np.asarray(jax.device_get(
+            model.apply(jax.device_get(variables), sample, train=False)))
+        assert float(np.abs(out_deploy - out_float).max()) > 1e-4
+
+
+def _leaf_paths(tree):
+    from pocketflow_tpu.learners.weight_sparsification import masking
+    paths = []
+    jax.tree_util.tree_map_with_path(
+        lambda p, _: paths.append(masking.path_str(p)), tree)
+    return paths
+
+
 @pytest.mark.slow
 def test_int8_qat_export_carries_trained_ranges(tmp_path):
     """VERDICT r2 #2: the int8 artifact must reproduce the QAT eval path,
