@@ -24,10 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pocketflow_tpu.core.metrics import get_logger
-
-log = get_logger()
-
 
 def nb_eval_batches(dataset, nb_batches: Optional[int] = None) -> int:
     """Whole batches covering this process's loaded eval shard once."""
@@ -106,10 +102,14 @@ def run_detection_eval(helper, model, state, dataset, forward_fn,
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
     for _ in range(nb):
         batch = next(iterator)
-        images = dataset.augment(jnp.asarray(batch['image']),
-                                 jax.random.PRNGKey(0), False)
-        out = fwd(variables, images)
-        helper.dump_n_eval((out, batch['label']), 'dump')
+        # the whole-batch entry point: augment_batch keeps labels consistent
+        # with any eval-time image transform and unpacks packed label
+        # metadata (datasets/abstract.py augment_xy contract)
+        abatch = dataset.augment_batch(
+            {k: jnp.asarray(v) for k, v in batch.items()},
+            jax.random.PRNGKey(0), False)
+        out = fwd(variables, abatch['image'])
+        helper.dump_n_eval((out, abatch['label']), 'dump')
     if jax.process_count() > 1:
         helper._detections, helper._groundtruth = allgather_detections(
             helper._detections, helper._groundtruth)

@@ -105,12 +105,20 @@ def roi_align(features: jax.Array, rois: jax.Array,
     return jax.vmap(one_roi)(rois)
 
 
+def _match_gt(boxes: jax.Array, gt_boxes: jax.Array, gt_valid: jax.Array):
+    """Shared matching core: per-box best valid gt (IoU-weighted).
+
+    One copy of the iou*valid / best_iou / best_gt triplet used by
+    rpn_targets, proposal_targets, and sample_rois — the subtle parts of
+    matching (padding gts zeroed via gt_valid) live here once."""
+    iou = anchor_lib.iou_matrix(boxes, gt_boxes) * gt_valid[None, :]
+    return iou, jnp.max(iou, axis=1), jnp.argmax(iou, axis=1)
+
+
 def rpn_targets(gt_boxes: jax.Array, gt_valid: jax.Array, anchors: jax.Array,
                 pos_iou: float = 0.7, neg_iou: float = 0.3):
     """Anchor-target layer: objectness labels (1/0/-1=ignore) + box targets."""
-    iou = anchor_lib.iou_matrix(anchors, gt_boxes) * gt_valid[None, :]
-    best_iou = jnp.max(iou, axis=1)
-    best_gt = jnp.argmax(iou, axis=1)
+    iou, best_iou, best_gt = _match_gt(anchors, gt_boxes, gt_valid)
     # every valid gt claims its best anchor
     best_anchor = jnp.argmax(iou, axis=0)
     forced = jnp.zeros(anchors.shape[0], jnp.float32).at[best_anchor].max(gt_valid)
@@ -125,9 +133,7 @@ def proposal_targets(proposals: jax.Array, valid: jax.Array,
                      gt_boxes: jax.Array, gt_classes: jax.Array,
                      gt_valid: jax.Array, fg_iou: float = 0.5):
     """Proposal-target layer: per-ROI class labels + box regression targets."""
-    iou = anchor_lib.iou_matrix(proposals, gt_boxes) * gt_valid[None, :]
-    best_iou = jnp.max(iou, axis=1)
-    best_gt = jnp.argmax(iou, axis=1)
+    _, best_iou, best_gt = _match_gt(proposals, gt_boxes, gt_valid)
     fg = jnp.logical_and(best_iou >= fg_iou, valid)
     cls_t = jnp.where(fg, gt_classes[best_gt].astype(jnp.int32), 0)
     box_t = anchor_lib.encode_boxes(gt_boxes[best_gt], proposals)
@@ -150,9 +156,7 @@ def sample_rois(proposals: jax.Array, valid: jax.Array, gt_boxes: jax.Array,
 
     Returns (roi_idx [nb_rois], cls_t, box_t, fg, valid_mask).
     """
-    iou = anchor_lib.iou_matrix(proposals, gt_boxes) * gt_valid[None, :]
-    best_iou = jnp.max(iou, axis=1)
-    best_gt = jnp.argmax(iou, axis=1)
+    _, best_iou, best_gt = _match_gt(proposals, gt_boxes, gt_valid)
     is_fg = jnp.logical_and(best_iou >= fg_iou, valid)
     is_bg = jnp.logical_and(jnp.logical_and(best_iou < fg_iou,
                                             best_iou >= bg_iou_lo), valid)
@@ -185,17 +189,34 @@ def sample_rois(proposals: jax.Array, valid: jax.Array, gt_boxes: jax.Array,
 
 
 def rpn_loss(obj_logits: jax.Array, rpn_deltas: jax.Array,
-             labels: jax.Array, box_targets: jax.Array) -> jax.Array:
-    """Objectness BCE (ignoring label -1) + smooth-L1 on positives."""
+             labels: jax.Array, box_targets: jax.Array,
+             minibatch: int = 256, max_fg_fraction: float = 0.5) -> jax.Array:
+    """Objectness BCE (ignoring label -1) + smooth-L1 on positives.
+
+    The reference's anchor_target_layer subsamples a 256-anchor minibatch
+    with up to 50% positives; without that, at real VOC resolutions (~46k
+    anchors, tens positive) the positives contribute ~0.1% of a
+    count-normalized BCE and objectness collapses toward all-negative.
+    Jit-friendly equivalent: weight the classes by the EXPECTED sampled
+    proportions — n_pos_s = min(n_pos, 128) positives + (256 - n_pos_s)
+    negatives, normalized by 256 (the expectation of the reference's
+    subsampled loss, deterministic instead of randomly thinned).
+    """
     valid = (labels >= 0).astype(jnp.float32)
     pos = (labels == 1).astype(jnp.float32)
+    neg = valid * (1.0 - pos)
     logp = jax.nn.log_sigmoid(obj_logits)
     log1p = jax.nn.log_sigmoid(-obj_logits)
     bce = -(pos * logp + (1.0 - pos) * log1p) * valid
-    nb_valid = jnp.maximum(jnp.sum(valid), 1.0)
     nb_pos = jnp.maximum(jnp.sum(pos), 1.0)
+    nb_neg = jnp.maximum(jnp.sum(neg), 1.0)
+    pos_mean = jnp.sum(bce * pos) / nb_pos
+    neg_mean = jnp.sum(bce * neg) / nb_neg
+    n_pos_s = jnp.minimum(nb_pos, minibatch * max_fg_fraction)
+    n_neg_s = minibatch - n_pos_s
+    cls = (n_pos_s * pos_mean + n_neg_s * neg_mean) / minibatch
     loc = jnp.sum(smooth_l1(rpn_deltas - box_targets), axis=1) * pos
-    return jnp.sum(bce) / nb_valid + jnp.sum(loc) / nb_pos
+    return cls + jnp.sum(loc) / nb_pos
 
 
 def rcnn_loss(cls_logits: jax.Array, box_deltas: jax.Array,

@@ -100,35 +100,26 @@ class ResNetBackbone(nn.Module):
     """
     resnet_size: int = 50
     dtype: object = jnp.bfloat16
+    width_map: Optional[Dict[str, int]] = None  # shrunk-serving overrides
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from pocketflow_tpu.nets.resnet import IMAGENET_CONFIGS
-        from pocketflow_tpu.nn.layers import maybe_remat
-        block_cls, stage_sizes = IMAGENET_CONFIGS[self.resnet_size]
-        block_cls = maybe_remat(block_cls)
-        x = PFConv(64, (7, 7), (2, 2), use_bias=False, dtype=self.dtype,
-                   name='conv_init')(x)
-        x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
-        x = relu(x)
-        x = max_pool(x, (3, 3), (2, 2), padding='SAME')      # stride 4
-        feats = []
-        for stage, nb_blocks in enumerate(stage_sizes[:3]):   # stages 1..3
-            width = 64 * (2 ** stage)
-            for block in range(nb_blocks):
-                strides = (2, 2) if (stage > 0 and block == 0) else (1, 1)
-                x = block_cls(width, strides, self.dtype,
-                              name='stage%d_block%d' % (stage + 1, block))(x, train)
-            feats.append(x)
+        from pocketflow_tpu.nets.resnet import imagenet_trunk
+        feats = imagenet_trunk(self, x, train, nb_stages=3)  # stages 1..3
         return feats[1], feats[2]  # C3 (stride 8), C4 (stride 16)
 
 
-def build_backbone(name: str, dtype) -> nn.Module:
+def build_backbone(name: str, dtype,
+                   width_map: Optional[Dict[str, int]] = None) -> nn.Module:
     if name == 'small':
         return SmallResNetBackbone(dtype=dtype, name='backbone')
     if name.startswith('resnet'):
+        # width_map keys are full module paths ('backbone/stage1_block0');
+        # the trunk resolves LOCAL names, so strip the scope prefix
+        local_wm = ({k[len('backbone/'):]: v for k, v in width_map.items()
+                     if k.startswith('backbone/')} if width_map else None)
         return ResNetBackbone(resnet_size=int(name[len('resnet'):]),
-                              dtype=dtype, name='backbone')
+                              dtype=dtype, width_map=local_wm, name='backbone')
     raise ValueError('unknown frcnn_backbone: %r' % name)
 
 
@@ -156,14 +147,22 @@ class FasterRCNN(nn.Module):
     nb_classes: int = 21
     backbone_name: str = 'resnet50'
     dtype: object = jnp.bfloat16
+    width_map: Optional[Dict[str, int]] = None  # shrunk-serving overrides
 
     def setup(self):
-        self.backbone = build_backbone(self.backbone_name, self.dtype)
+        self.backbone = build_backbone(self.backbone_name, self.dtype,
+                                       self.width_map)
         # FPN-style lateral 1x1 convs bring both levels to a common width so
         # the RPN tower + heads are SHARED across levels
         self.laterals = [PFConv(256, (1, 1), dtype=self.dtype,
                                 name='lateral%d' % i) for i in range(2)]
         self.rpn_conv = PFConv(256, (3, 3), dtype=self.dtype, name='rpn_conv')
+        # the RPN convs are SHARED across levels, so every level must emit
+        # the same anchor count — a mismatched per-level scale tuple would
+        # silently pair logits with the wrong anchors (reshape hides it)
+        if len({len(s) for s in RPN_LEVEL_SCALES}) != 1:
+            raise ValueError('RPN_LEVEL_SCALES tuples must have equal length '
+                             '(shared RPN head): %r' % (RPN_LEVEL_SCALES,))
         nb_anchors = len(RPN_LEVEL_SCALES[0]) * len(RPN_RATIOS)
         self.rpn_obj = PFConv(nb_anchors, (1, 1), dtype=self.dtype, name='rpn_obj')
         self.rpn_box = PFConv(nb_anchors * 4, (1, 1), dtype=self.dtype, name='rpn_box')
@@ -211,6 +210,11 @@ class FasterRCNN(nn.Module):
                 jax.nn.sigmoid(obj), deltas, anchors,
                 FLAGS.frcnn_nb_pre_nms, nb_props,
                 FLAGS.frcnn_rpn_nms_threshold)
+            # proposals are DATA to the second stage (the reference's
+            # proposal_target_layer is a non-differentiable py_func): the
+            # RCNN loss must not backprop into the RPN box regressor through
+            # its own targets / the ROI-align sampling coordinates
+            props = jax.lax.stop_gradient(props)
             if lab is not None:
                 gt_boxes, gt_cls, gt_valid = lab[:, 1:5], lab[:, 0], lab[:, 5]
                 # proposal_target_layer semantics: the gt boxes JOIN the
@@ -350,8 +354,19 @@ class ModelHelper(AbstractModelHelper):
         """Graft backbone weights from a classification checkpoint
         (reference faster_rcnn helper warm-starts its ResNet backbone)."""
         from pocketflow_tpu.core import checkpoint as ckpt_lib
+        from pocketflow_tpu.core.metrics import get_logger
         params, nb = ckpt_lib.restore_intersecting(
             FLAGS.save_path, state.params, prefix_map={'': 'backbone/'})
+        log = get_logger()
+        if nb == 0:
+            # a silent no-op here means the detector trains from random init
+            # while the user believes the backbone was grafted
+            log.warning('warm_start grafted NO tensors from %s — is the '
+                        'checkpoint missing or from a different trunk?',
+                        FLAGS.save_path)
+        else:
+            log.info('warm_start grafted %d backbone tensors from %s',
+                     nb, FLAGS.save_path)
         return state.replace(params=params)
 
     def setup_lrn_rate(self, global_batch_size: int):

@@ -144,24 +144,43 @@ class ResNetImageNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        block_cls, stage_sizes = IMAGENET_CONFIGS[self.resnet_size]
-        block_cls = maybe_remat(block_cls)
-        if self.stem_space_to_depth:
-            x = space_to_depth(x.astype(self.dtype), 2)
-            x = PFConv(_w(self, 'conv_init', 64), (4, 4), (1, 1),
-                       use_bias=False, dtype=self.dtype, name='conv_init')(x)
-        else:
-            x = PFConv(_w(self, 'conv_init', 64), (7, 7), (2, 2),
-                       use_bias=False, dtype=self.dtype, name='conv_init')(x)
-        x = BatchNorm(dtype=self.dtype, name='bn_init')(x, use_running_average=not train)
-        x = relu(x)
-        x = max_pool(x, (3, 3), (2, 2), padding='SAME')
-        for stage, nb_blocks in enumerate(stage_sizes):
-            width = 64 * (2 ** stage)
-            for block in range(nb_blocks):
-                strides = (2, 2) if (stage > 0 and block == 0) else (1, 1)
-                x = block_cls(width, strides, self.dtype, self.width_map,
-                              name='stage%d_block%d' % (stage + 1, block))(x, train)
+        x = imagenet_trunk(self, x, train)[-1]
         x = global_avg_pool(x)
         x = PFDense(self.nb_classes, dtype=self.dtype, name='fc')(x)
         return x.astype(jnp.float32)
+
+
+def imagenet_trunk(mdl: nn.Module, x, train: bool,
+                   nb_stages: Optional[int] = None):
+    """ImageNet stem + residual stages, shared by ResNetImageNet and the
+    Faster-RCNN backbone (nets/faster_rcnn_at_pascalvoc.ResNetBackbone).
+
+    ONE copy keeps the module names identical across the two, which is what
+    lets a classification checkpoint graft into the detector through
+    ModelHelper.warm_start — and carries the width_map / stem_space_to_depth
+    features everywhere the trunk is used.  Must be called from inside an
+    ``nn.compact`` __call__ of `mdl` (submodules are created in its scope).
+    Returns the list of per-stage feature maps (stage i has stride 2^(i+2)).
+    """
+    block_cls, stage_sizes = IMAGENET_CONFIGS[mdl.resnet_size]
+    block_cls = maybe_remat(block_cls)
+    width_map = getattr(mdl, 'width_map', None)
+    if getattr(mdl, 'stem_space_to_depth', False):
+        x = space_to_depth(x.astype(mdl.dtype), 2)
+        x = PFConv(_w(mdl, 'conv_init', 64), (4, 4), (1, 1),
+                   use_bias=False, dtype=mdl.dtype, name='conv_init')(x)
+    else:
+        x = PFConv(_w(mdl, 'conv_init', 64), (7, 7), (2, 2),
+                   use_bias=False, dtype=mdl.dtype, name='conv_init')(x)
+    x = BatchNorm(dtype=mdl.dtype, name='bn_init')(x, use_running_average=not train)
+    x = relu(x)
+    x = max_pool(x, (3, 3), (2, 2), padding='SAME')
+    feats = []
+    for stage, nb_blocks in enumerate(stage_sizes[:nb_stages]):
+        width = 64 * (2 ** stage)
+        for block in range(nb_blocks):
+            strides = (2, 2) if (stage > 0 and block == 0) else (1, 1)
+            x = block_cls(width, strides, mdl.dtype, width_map,
+                          name='stage%d_block%d' % (stage + 1, block))(x, train)
+        feats.append(x)
+    return feats
