@@ -112,21 +112,48 @@ def save(save_path: str, state: Any, step: int) -> str:
         return _orbax_save(save_path, state, step)
     save_dir = os.path.dirname(save_path) or '.'
     os.makedirs(save_dir, exist_ok=True)
-    state = jax.device_get(state)
     path = _ckpt_path(save_path, step)
-    with open(path + '.tmp', 'wb') as fout:
-        fout.write(serialization.to_bytes(state))
-    os.replace(path + '.tmp', path)
-    with open(_index_path(save_dir), 'w') as fout:
-        json.dump({'latest': os.path.basename(path), 'step': int(step)}, fout)
+    # every process may call save() (the orbax path REQUIRES that — its
+    # finalize is a cross-process collective); for the local msgpack format
+    # only the primary writes
+    if jax.process_index() == 0:
+        state = jax.device_get(state)
+        with open(path + '.tmp', 'wb') as fout:
+            fout.write(serialization.to_bytes(state))
+        os.replace(path + '.tmp', path)
+        # index write must be atomic too: a crash mid-write would brick
+        # every future restore even though the data file is intact
+        idx = _index_path(save_dir)
+        with open(idx + '.tmp', 'w') as fout:
+            json.dump({'latest': os.path.basename(path), 'step': int(step)},
+                      fout)
+        os.replace(idx + '.tmp', idx)
     return path
 
 
+def _orbax_latest_step_dir(save_dir: str) -> Optional[int]:
+    """Newest COMMITTED orbax step directory under save_dir, or None.
+
+    Orbax's CheckpointManager lays out `<save_dir>/<step>/`; in-progress
+    saves carry a `.orbax-checkpoint-tmp-*` suffix, so pure-digit dirs are
+    the committed ones."""
+    if not os.path.isdir(save_dir):
+        return None
+    steps = [int(d) for d in os.listdir(save_dir)
+             if d.isdigit() and os.path.isdir(os.path.join(save_dir, d))]
+    return max(steps) if steps else None
+
+
 def latest_checkpoint(save_dir: str) -> Optional[str]:
-    """Path of the newest checkpoint in `save_dir`, or None."""
+    """Path of the newest checkpoint in `save_dir`, or None.
+
+    Knows both backends: the msgpack index file and orbax step dirs — a
+    run saved through the orbax fallback must still register as 'has a
+    checkpoint' (download_model/resume existence checks rely on this)."""
     idx = _index_path(save_dir)
     if not os.path.exists(idx):
-        return None
+        step = _orbax_latest_step_dir(save_dir)
+        return os.path.join(save_dir, str(step)) if step is not None else None
     with open(idx) as fin:
         try:
             meta = json.load(fin)
@@ -144,7 +171,7 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
 def latest_step(save_dir: str) -> Optional[int]:
     idx = _index_path(save_dir)
     if not os.path.exists(idx):
-        return None
+        return _orbax_latest_step_dir(save_dir)
     with open(idx) as fin:
         return int(json.load(fin).get('step', 0))
 
@@ -165,6 +192,8 @@ def restore_latest(save_path: str, target: Any) -> Optional[Any]:
         if jax.process_count() > 1:
             return _orbax_restore_latest(save_path, target)
         return None
+    if os.path.isdir(path):  # orbax step dir found by latest_checkpoint
+        return _orbax_restore_latest(save_path, target)
     return restore(path, target)
 
 
@@ -183,8 +212,13 @@ def restore_intersecting(save_path: str, params, subtree: str = 'params',
     path = latest_checkpoint(os.path.dirname(save_path) or '.')
     if path is None:
         return params, 0
-    with open(path, 'rb') as fin:
-        raw = serialization.msgpack_restore(fin.read())
+    if os.path.isdir(path):  # orbax step dir
+        raw = _orbax_restore_raw(save_path)
+        if raw is None:
+            return params, 0
+    else:
+        with open(path, 'rb') as fin:
+            raw = serialization.msgpack_restore(fin.read())
     src = raw.get(subtree, raw)
 
     def flatten(node, prefix=''):
@@ -241,7 +275,12 @@ def restore_fields(save_path: str, targets: dict) -> Optional[dict]:
                 return {key: serialization.from_state_dict(target, raw[key])
                         for key, target in targets.items()}
         return None
-    with open(path, 'rb') as fin:
-        raw = serialization.msgpack_restore(fin.read())
+    if os.path.isdir(path):  # orbax step dir
+        raw = _orbax_restore_raw(save_path)
+        if raw is None:
+            return None
+    else:
+        with open(path, 'rb') as fin:
+            raw = serialization.msgpack_restore(fin.read())
     return {key: serialization.from_state_dict(target, raw[key])
             for key, target in targets.items()}

@@ -183,7 +183,16 @@ def replicated_sharding(mesh: Optional[Mesh] = None) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Optional[Mesh] = None):
-    """Place a host-local batch onto the mesh, split along axis 0."""
+    """Place a host-local batch onto the mesh, split along axis 0.
+
+    SINGLE-PROCESS only (device_put of host-local data to a cross-process
+    sharding is wrong): production code goes through
+    ``AbstractLearner.put_batch``, which assembles global batches with
+    ``make_array_from_process_local_data`` under multi-host."""
+    if jax.process_count() > 1:
+        raise RuntimeError('shard_batch is single-process only; use '
+                           'AbstractLearner.put_batch for multi-host batch '
+                           'assembly')
     mesh = mesh or global_mesh()
 
     def _put(x):

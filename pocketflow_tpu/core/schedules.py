@@ -34,7 +34,9 @@ def piecewise_constant(batch_size: int,
     vals = jnp.asarray([lrn_rate_init * r for r in decay_rates], jnp.float32)
 
     def schedule(step):
-        idx = jnp.sum(jnp.asarray(step, jnp.int32) >= bnds)
+        # tf.train.piecewise_constant keeps the PRE-decay value at a step
+        # equal to a boundary (`x <= boundary`), hence strict >
+        idx = jnp.sum(jnp.asarray(step, jnp.int32) > bnds)
         return vals[idx]
 
     return schedule

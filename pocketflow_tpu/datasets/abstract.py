@@ -151,6 +151,18 @@ class AbstractDataset(ABC):
         feature-capture steps that only need extent-correct pixels."""
         return self.augment_batch(batch, rng, is_train)['image']
 
+    def peek_images(self, n: int = 2) -> np.ndarray:
+        """First ``n`` raw images WITHOUT building the iterator pipeline.
+
+        build() spawns prefetch threads / a native sampler that live for the
+        process — shape/dtype peeks for model init must not leak one per
+        learner construction (the recurring iterator-leak defect pattern)."""
+        if not hasattr(self, '_cached_arrays'):
+            self._cached_arrays = self._load_arrays()
+        images = self._cached_arrays[0]
+        idx = np.arange(min(n, len(images)), dtype=np.int64)
+        return np.asarray(images[idx])
+
     # -- synthetic fallback ---------------------------------------------------
 
     def synthesize_arrays(self, nb_smpls: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:

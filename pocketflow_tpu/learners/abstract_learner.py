@@ -120,7 +120,8 @@ class AbstractLearner(ABC):
         jitted program: eager init dispatches thousands of tiny ops, which is
         pathological when every op triggers a remote compile (axon tunnel).
         """
-        sample = next(iter_or_self(self.dataset_train.build()))['image'][:2]
+        # shape/dtype peek only — build() would leak a prefetch pipeline
+        sample = self.dataset_train.peek_images(2)
         schedule, self.nb_iters_train = self.setup_lrn_rate(self.global_batch_size)
         tx = optax.sgd(learning_rate=schedule, momentum=FLAGS.momentum)
         model = self.model
@@ -247,10 +248,18 @@ class AbstractLearner(ABC):
 
         put = self.put_batch
 
-        for _ in range(depth):
-            buf.append(put(next(iterator)))
-        while True:
-            buf.append(put(next(iterator)))
+        # a finite iterator must end cleanly (PEP 479 turns a StopIteration
+        # escaping a generator into RuntimeError) and still yield the
+        # batches already buffered
+        try:
+            for _ in range(depth):
+                buf.append(put(next(iterator)))
+            while True:
+                buf.append(put(next(iterator)))
+                yield buf.popleft()
+        except StopIteration:
+            pass
+        while buf:
             yield buf.popleft()
 
     def run_train_loop(self, state: TrainState, train_step, nb_iters: Optional[int] = None,
@@ -280,14 +289,17 @@ class AbstractLearner(ABC):
                 host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()
                                 if np.ndim(v) == 0}
                 monitor.report(idx_iter + 1, FLAGS.summ_step, host_metrics)
-            if (idx_iter + 1) % FLAGS.save_step == 0 and self.is_primary_worker():
+            if (idx_iter + 1) % FLAGS.save_step == 0:
+                # EVERY process participates: a multi-process state routes
+                # save through orbax (cross-process collectives), and
+                # eval_fn runs a jitted SPMD program over the global mesh —
+                # primary-only calls would mismatch collectives and hang
                 self.save_model(state, save_path)
                 if eval_fn is not None:
                     eval_fn(state)
         profiler.close()
-        if self.is_primary_worker():
-            self.save_model(state, save_path)
-            ckpt_lib.wait_for_async_saves()  # orbax backend: flush before exit
+        self.save_model(state, save_path)
+        ckpt_lib.wait_for_async_saves()  # orbax backend: flush before exit
         self.auto_barrier()
         return state
 

@@ -58,6 +58,14 @@ class DistillationHelper:
                 raise FileNotFoundError(
                     'distillation requires a pretrained full-prec checkpoint '
                     'under ' + os.path.dirname(FLAGS.save_path))
+        elif os.path.isdir(path):
+            # latest_checkpoint found an orbax step dir (orbax backend, or
+            # the multi-process fallback in save())
+            raw = ckpt_lib._orbax_restore_raw(FLAGS.save_path)
+            if raw is None:
+                raise FileNotFoundError(
+                    'distillation requires a pretrained full-prec checkpoint '
+                    'under ' + os.path.dirname(FLAGS.save_path))
         else:
             # The checkpoint holds a full TrainState; deserialize generically.
             from flax import serialization

@@ -244,10 +244,11 @@ class UniformQuantTFLearner(AbstractLearner):
                         if np.ndim(v) == 0}
                 self.log.info('iter %d: %s', idx_iter + 1,
                               ' | '.join('%s = %.4f' % kv for kv in host.items()))
-            if (idx_iter + 1) % FLAGS.save_step == 0 and self.is_primary_worker():
+            if (idx_iter + 1) % FLAGS.save_step == 0:
+                # all processes: multi-process saves route through orbax,
+                # whose finalize is a cross-process collective
                 self.save_model(state, FLAGS.uqtf_save_path)
-        if self.is_primary_worker():
-            self.save_model(state, FLAGS.uqtf_save_path)
+        self.save_model(state, FLAGS.uqtf_save_path)
         self.auto_barrier()
         self.run_eval_loop(state, eval_step)
         return state

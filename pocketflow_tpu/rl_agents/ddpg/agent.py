@@ -342,30 +342,46 @@ class DdpgAgent:
             path = path + '.npz'
         if not os.path.exists(path):
             return False
+        if self.state is None:
+            self.init()
         try:
+            # read and decode EVERYTHING into locals before touching self:
+            # truncated .npz files often pass np.load (zip directory intact)
+            # and only fail with CRC/KeyError on entry access, and a changed
+            # buf_size raises on broadcast — all must hit the start-fresh
+            # fallback, not crash the resume, and must not leave the agent
+            # half-restored
             blob = np.load(path)
-        except Exception as exc:  # corrupt/truncated file: start fresh
+            extras = {k[2:]: blob[k] for k in blob.files if k.startswith('x_')}
+            new_state = serialization.from_bytes(
+                self.state, blob['state'].tobytes())
+            ema = float(blob['reward_ema'])
+            stdev_curr = float(blob['stdev_curr'])
+            in_explore = bool(blob['in_explore'])
+            bufs = {k: np.array(blob['buf_' + k]) for k in
+                    ('states', 'actions', 'rewards', 'terminals',
+                     'states_next')}
+            for k, arr in bufs.items():
+                if arr.shape != getattr(self.memory, k).shape:
+                    raise ValueError(
+                        'replay buffer %s shape %s != current %s (flag '
+                        'change between runs?)' % (k, arr.shape,
+                                                   getattr(self.memory, k).shape))
+            head, count = int(blob['buf_head']), int(blob['buf_count'])
+        except Exception as exc:  # corrupt/truncated/mismatched: start fresh
             from pocketflow_tpu.core.metrics import get_logger
             get_logger().warning('search checkpoint %s unreadable (%s); '
                                  'starting the search from scratch', path, exc)
             return False
-        if self.state is None:
-            self.init()
-        self.restored_extras = {k[2:]: blob[k] for k in blob.files
-                                if k.startswith('x_')}
-        self.state = serialization.from_bytes(
-            self.state, blob['state'].tobytes())
-        ema = float(blob['reward_ema'])
+        self.restored_extras = extras
+        self.state = new_state
         self.reward_ema = None if ema <= -1e29 else ema
-        self.noise_spec.stdev_curr = float(blob['stdev_curr'])
-        self.in_explore = bool(blob['in_explore'])
-        self.memory.states[:] = blob['buf_states']
-        self.memory.actions[:] = blob['buf_actions']
-        self.memory.rewards[:] = blob['buf_rewards']
-        self.memory.terminals[:] = blob['buf_terminals']
-        self.memory.states_next[:] = blob['buf_states_next']
-        self.memory.head = int(blob['buf_head'])
-        self.memory.count = int(blob['buf_count'])
+        self.noise_spec.stdev_curr = stdev_curr
+        self.in_explore = in_explore
+        for k, arr in bufs.items():
+            getattr(self.memory, k)[:] = arr
+        self.memory.head = head
+        self.memory.count = count
         return True
 
     def train(self) -> Tuple[float, float, float]:

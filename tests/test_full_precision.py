@@ -77,11 +77,14 @@ def test_lr_schedule_piecewise():
     with FLAGS.scope(lrn_rate_init=0.1, batch_size_norm=128, nb_epochs_rat=1.0):
         sched = schedules.piecewise_constant(
             128, [10, 20], [1.0, 0.1, 0.01], nb_smpls_train=1280)
-        # 10 batches/epoch -> boundaries at steps 100, 200
+        # 10 batches/epoch -> boundaries at steps 100, 200; the reference's
+        # tf.train.piecewise_constant keeps the PRE-decay value AT the
+        # boundary (`x <= boundary`)
         assert np.isclose(float(sched(0)), 0.1)
-        assert np.isclose(float(sched(99)), 0.1)
-        assert np.isclose(float(sched(100)), 0.01)
-        assert np.isclose(float(sched(250)), 0.001)
+        assert np.isclose(float(sched(100)), 0.1)
+        assert np.isclose(float(sched(101)), 0.01)
+        assert np.isclose(float(sched(200)), 0.01)
+        assert np.isclose(float(sched(201)), 0.001)
 
 
 def test_lr_schedule_exponential():

@@ -113,19 +113,31 @@ def test_ghost_bn_matches_exact_stats_semantics():
 
 
 def test_ghost_bn_training_holds_accuracy(tmp_path):
-    """A tiny BN-model training run with bn_stats_subsample=4 still learns."""
+    """A tiny BN-model training run with bn_stats_subsample=4 still learns.
+
+    Asserts on TRAIN accuracy (batch statistics — the thing ghost BN
+    changes): at this budget the BN RUNNING averages (momentum 0.997,
+    ~300-step timescale) are still near init, so eval accuracy is
+    meaningless noise — the old eval-based assertion was a coin flip on
+    shuffle order."""
+    import jax
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
     from pocketflow_tpu.nets.resnet_at_cifar10 import ModelHelper
     with FLAGS.scope(batch_size=8, batch_size_eval=16, nb_smpls_train=256,
-                     nb_smpls_eval=64, nb_epochs_rat=0.004, resnet_size=20,
-                     lrn_rate_init=0.05, bn_stats_subsample=4,
+                     nb_smpls_eval=64, nb_epochs_rat=0.04, resnet_size=20,
+                     lrn_rate_init=0.01, bn_stats_subsample=4,
                      save_path=str(tmp_path / 'r20' / 'model.ckpt')):
         learner = FullPrecLearner(None, ModelHelper())
-        state = learner.train()
+        state, tx, _ = learner.init_state()
+        step = learner.build_train_step(tx)
+        it = learner.dataset_train.build()
+        for i in range(40):
+            state, m = step(state, learner.put_batch(next(it)),
+                            jax.random.fold_in(jax.random.PRNGKey(0), i))
+        train_acc = float(jax.device_get(m)['accuracy'])
+        assert train_acc > 0.3, train_acc  # measured 0.39 at this config
         metrics = learner.run_eval_loop(state, learner.build_eval_step())
-        assert np.isfinite(metrics['loss'])  # trains and evals without NaNs
-        # deterministic tiny budget: just demand better-than-chance learning
-        assert metrics['accuracy'] > 0.12
+        assert np.isfinite(metrics['loss'])  # evals without NaNs
 
 
 def test_remat_blocks_gradients_bit_identical():
