@@ -125,12 +125,15 @@ class FlagRegistry:
     def scope(self, **kwargs):
         """Temporarily override flags inside a ``with`` block."""
         with self._lock:
-            saved = {k: self._values[k] for k in kwargs if k in self._values}
             missing = [k for k in kwargs if k not in self._specs]
             if missing:
                 raise AttributeError('unknown flags in scope(): %r' % missing)
-            for key, value in kwargs.items():
-                self._values[key] = self._coerce(key, value)
+            # coerce EVERYTHING before mutating anything: a coercion error
+            # mid-application would leak the flags already set (the
+            # try/finally below never runs on a pre-yield raise)
+            coerced = {k: self._coerce(k, v) for k, v in kwargs.items()}
+            saved = {k: self._values[k] for k in kwargs if k in self._values}
+            self._values.update(coerced)
         try:
             yield self
         finally:
@@ -142,12 +145,25 @@ class FlagRegistry:
     def parse_args(self, argv: Optional[List[str]] = None) -> List[str]:
         """Parse ``--flag=value`` / ``--flag value`` argv entries.
 
-        Accepts the same CLI surface as the reference's tf.app.flags (including
-        bare ``--bool_flag`` meaning True).  Returns unrecognised leftovers.
+        Accepts the same CLI surface as the reference's tf.app.flags: bare
+        ``--bool_flag`` means True, ``--nobool_flag`` means False, and names
+        match EXACTLY (no argparse prefix abbreviation — tf.app.flags never
+        abbreviated, and prefix matching silently mis-assigns or hard-exits
+        on unregistered flags that prefix a registered one).  Returns
+        unrecognised leftovers.
         """
         if argv is None:
             argv = sys.argv[1:]
-        parser = argparse.ArgumentParser(add_help=False)
+        # --noflag negation for registered booleans (tf.app.flags syntax)
+        rewritten = []
+        for arg in argv:
+            if arg.startswith('--no') and arg[4:] in self._specs \
+                    and self._specs[arg[4:]].ftype is bool:
+                rewritten.append('--%s=false' % arg[4:])
+            else:
+                rewritten.append(arg)
+        argv = rewritten
+        parser = argparse.ArgumentParser(add_help=False, allow_abbrev=False)
         for spec in self._specs.values():
             if spec.ftype is bool:
                 parser.add_argument('--' + spec.name, nargs='?', const='true',

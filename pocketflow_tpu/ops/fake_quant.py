@@ -80,14 +80,15 @@ def _fq_axis0_kernel(x_ref, k_ref, o_ref):
     o_ref[:] = _quantize_math(x_ref[:], k, axis=0).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _fq_pallas_2d(x2d: jax.Array, k: jax.Array, per_column: bool) -> jax.Array:
+@jax.jit
+def _fq_pallas_2d(x2d: jax.Array, k: jax.Array) -> jax.Array:
+    """Per-TENSOR fused fake-quant (per-column quantization routes through
+    the gridded _fq_pallas_cols_grid instead)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = _fq_axis0_kernel if per_column else _fq_tensor_kernel
     return pl.pallas_call(
-        kernel,
+        _fq_tensor_kernel,
         out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -160,7 +161,7 @@ def fake_quant(x: jax.Array, bits: jax.Array) -> jax.Array:
     k = (jnp.exp2(bits.astype(jnp.float32)) - 1.0)
     if _use_pallas() and x.size * 4 <= _PALLAS_MAX_BYTES and x.size >= 1024:
         x2d, (n, pad) = _pad_to_2d(x)
-        out = _fq_pallas_2d(x2d, k, False)
+        out = _fq_pallas_2d(x2d, k)
         return out.reshape(-1)[:n].reshape(x.shape).astype(x.dtype)
     return _quantize_math(x, k, None).astype(x.dtype)
 
@@ -231,25 +232,41 @@ def _fqcb_bwd(_, g):
 fake_quant_channel_bucket.defvjp(_fqcb_fwd, _fqcb_bwd)
 
 
+def _nudged_range(range_min, range_max, bits):
+    """TF FakeQuantWithMinMaxVars' zero-point nudge: shift (min, max) so the
+    ZERO POINT lands exactly on the integer grid.  Without it, 0.0 is not
+    representable (an EMA range like [0.02, 6.1] quantizes zeros to 0.02)
+    and integer deployment — whose zero point IS an integer — cannot
+    reproduce the QAT grid."""
+    k = jnp.exp2(bits.astype(jnp.float32)) - 1.0
+    scale = (range_max - range_min).astype(jnp.float32) / k + EPS
+    zero_point = jnp.round(jnp.clip(-range_min.astype(jnp.float32) / scale,
+                                    0.0, k))
+    nudged_min = -zero_point * scale
+    nudged_max = (k - zero_point) * scale
+    return nudged_min, nudged_max, scale
+
+
 @jax.custom_vjp
 def fake_quant_with_range(x: jax.Array, range_min: jax.Array,
                           range_max: jax.Array, bits: jax.Array) -> jax.Array:
     """Fake-quantize with an EXTERNALLY tracked range (moving-average min/max),
     the semantics of tf.contrib.quantize's MovingAvgQuantize used by the
     uniform-tf learner (/root/reference/learners/uniform_quantization_tf/
-    learner.py:177-187).  STE passes gradients only inside the range (clipped
-    positions get zero gradient, like TF's FakeQuantWithMinMaxVars)."""
-    k = jnp.exp2(bits.astype(jnp.float32)) - 1.0
-    alpha = (range_max - range_min).astype(jnp.float32) + EPS
+    learner.py:177-187), INCLUDING the zero-point nudge of
+    FakeQuantWithMinMaxVars.  STE passes gradients only inside the nudged
+    range (clipped positions get zero gradient, like TF)."""
+    nmin, nmax, scale = _nudged_range(range_min, range_max, bits)
     x32 = x.astype(jnp.float32)
-    clipped = jnp.clip(x32, range_min, range_max)
-    q = jnp.round((clipped - range_min) / alpha * k) / k
-    return (alpha * q + range_min).astype(x.dtype)
+    clipped = jnp.clip(x32, nmin, nmax)
+    q = jnp.round((clipped - nmin) / scale)
+    return (q * scale + nmin).astype(x.dtype)
 
 
 def _fqwr_fwd(x, range_min, range_max, bits):
     out = fake_quant_with_range(x, range_min, range_max, bits)
-    in_range = jnp.logical_and(x >= range_min, x <= range_max)
+    nmin, nmax, _ = _nudged_range(range_min, range_max, bits)
+    in_range = jnp.logical_and(x >= nmin, x <= nmax)
     return out, in_range
 
 

@@ -182,8 +182,9 @@ def init_codebook(x: jax.Array, bits: int, init_style: str,
     """[k, nb_buckets] initial clusters from the normalized weights.
 
     Styles: 'uniform' (linspace), 'quantile' (reference percentile init,
-    utils.py:349-366), 'kmeans' (quantile + Lloyd refinement — strictly
-    better coverage of the weight distribution; the rebuild's default)."""
+    utils.py:349-366), 'kmeans' (Lloyd refinement from a full-range UNIFORM
+    start — a quantile start crowds the center and k-means cannot escape
+    that local optimum; the rebuild's default)."""
     k = int(2 ** bits)
     x2d, _, per_column = to_buckets(x, bucket_type, bucket_size)
     x_norm, _, _ = _normalize(x2d, per_column)

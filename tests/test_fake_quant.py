@@ -86,6 +86,46 @@ def test_bucket_storage_accounting():
     assert total == 100 * 8 + 2 * 64
 
 
+def test_with_range_nudges_zero_point_like_tf():
+    """fake_quant_with_range must reproduce TF FakeQuantWithMinMaxVars'
+    zero-point nudge: 0.0 is exactly representable even when the EMA range
+    doesn't start at 0, matching the integer-deployment grid (round-3
+    review: without the nudge, zeros quantized to range_min)."""
+    from pocketflow_tpu.ops.fake_quant import fake_quant_with_range
+    rng = np.random.default_rng(3)
+    x = np.concatenate([np.zeros(8, np.float32),
+                        rng.uniform(-1.5, 7.0, 256).astype(np.float32)])
+    for rmin, rmax, bits in [(0.02, 6.1, 8.0), (-1.3, 5.7, 8.0),
+                             (0.0, 6.0, 4.0), (-0.41, 0.37, 8.0)]:
+        q = np.asarray(fake_quant_with_range(
+            jnp.asarray(x), jnp.float32(rmin), jnp.float32(rmax),
+            jnp.float32(bits)))
+        # zeros stay exactly zero on the nudged grid
+        np.testing.assert_array_equal(q[:8], 0.0)
+        tf = pytest.importorskip('tensorflow')
+        want = tf.quantization.fake_quant_with_min_max_vars(
+            x, rmin, rmax, num_bits=int(bits), narrow_range=False).numpy()
+        np.testing.assert_allclose(q, want, atol=2e-5)
+
+
+def test_config_scope_atomic_and_cli_parity():
+    """FLAGS.scope must not leak earlier overrides when a later coercion
+    fails, and parse_args must match tf.app.flags: exact names only (no
+    argparse prefix abbreviation) + --noflag boolean negation."""
+    from pocketflow_tpu.config import FLAGS
+    before = FLAGS.debug
+    with pytest.raises(ValueError):
+        with FLAGS.scope(debug=True, summ_step='abc'):
+            pass
+    assert FLAGS.debug == before  # nothing leaked
+
+    leftovers = FLAGS.parse_args(['--mesh', 'data:8'])
+    assert leftovers == ['--mesh', 'data:8']  # no prefix match onto mesh_*
+    with FLAGS.scope(enbl_dst=True):
+        FLAGS.parse_args(['--noenbl_dst'])
+        assert FLAGS.enbl_dst is False
+
+
 def test_quantization_under_jit_and_grad_in_train_like_step():
     x = jnp.asarray(np.random.default_rng(5).normal(size=(128, 32)).astype(np.float32))
 
