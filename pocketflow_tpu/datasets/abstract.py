@@ -163,6 +163,17 @@ class AbstractDataset(ABC):
         idx = np.arange(min(n, len(images)), dtype=np.int64)
         return np.asarray(images[idx])
 
+    def peek_batch(self, n: int = 2):
+        """First ``n`` raw rows as a batch dict, WITHOUT building the
+        iterator pipeline — like peek_images but keeping the labels (packed
+        full-frame rows carry crop extents that augment_batch needs)."""
+        if not hasattr(self, '_cached_arrays'):
+            self._cached_arrays = self._load_arrays()
+        images, labels = self._cached_arrays
+        idx = np.arange(min(n, len(images)), dtype=np.int64)
+        return {'image': np.asarray(images[idx]),
+                'label': np.asarray(labels[idx])}
+
     # -- synthetic fallback ---------------------------------------------------
 
     def synthesize_arrays(self, nb_smpls: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:

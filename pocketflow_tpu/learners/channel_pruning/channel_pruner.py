@@ -233,46 +233,72 @@ class ChannelPruner:
         nb_pts = FLAGS.cp_nb_points_per_layer
 
         @jax.jit
-        def sample(fparams, fbstats, batch, rng):
+        def sample(oparams, obstats, cparams, cbstats, batch, rng):
+            """X from the CURRENT (partially pruned) net, Y from the
+            ORIGINAL net: the reference regresses each layer back toward
+            the unpruned model's feature maps (channel_pruner.py:610 reads
+            Y from feats_dict extracted once from the original), so
+            per-layer pruning error is corrected instead of compounding."""
             images = augment_images(batch, jax.random.PRNGKey(0), False)
-            recorder = InputCapturePolicy()
-            with compression(recorder):
-                model.apply({'params': fparams, 'batch_stats': fbstats},
+            rec_cur = InputCapturePolicy()
+            with compression(rec_cur):
+                model.apply({'params': cparams, 'batch_stats': cbstats},
                             images, train=False)
-            x = dict(recorder.inputs)[path]
-            y_full = dict(recorder.captured)[path]
-            bias = fparams
+            x = dict(rec_cur.inputs)[path]
+            rec_orig = InputCapturePolicy()
+            with compression(rec_orig):
+                model.apply({'params': oparams, 'batch_stats': obstats},
+                            images, train=False)
+            y_full = dict(rec_orig.captured)[path]
+            bias = oparams
             for key in path.split('/'):
                 bias = bias[key]
             if 'bias' in bias:
                 y_full = y_full - bias['bias'].astype(y_full.dtype)
-            # patches [B, H', W', c_in*h*w] with feature order (c, kh, kw);
-            # padding MUST match the conv's (inferred in conv_layer_specs)
-            # or X and Y index different spatial positions
-            patches = jax.lax.conv_general_dilated_patches(
-                x.astype(jnp.float32), (h, w), strides,
-                spec.get('padding', 'SAME'),
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-            B, Hp, Wp = patches.shape[:3]
-            k1, k2, k3 = jax.random.split(rng, 3)
+            # sampled patch windows, gathered DIRECTLY with dynamic slices:
+            # materializing conv_general_dilated_patches for the whole map
+            # ([B, H', W', c_in*h*w]) costs h*w times the feature-map HBM
+            # for ~10 sampled points/image.  Padding MUST match the conv's
+            # (inferred in conv_layer_specs) or X and Y index different
+            # spatial positions.
+            padding = spec.get('padding', 'SAME')
+            pads = jax.lax.padtype_to_pads(x.shape[1:3], (h, w), strides,
+                                           padding)
+            xp = jnp.pad(x.astype(jnp.float32),
+                         ((0, 0), pads[0], pads[1], (0, 0)))
+            B = x.shape[0]
+            Hp = (x.shape[1] + sum(pads[0]) - h) // strides[0] + 1
+            Wp = (x.shape[2] + sum(pads[1]) - w) // strides[1] + 1
+            k1, k2 = jax.random.split(rng)
             bi = jnp.repeat(jnp.arange(B), nb_pts)
             yi = jax.random.randint(k1, (B * nb_pts,), 0, Hp)
             xi = jax.random.randint(k2, (B * nb_pts,), 0, Wp)
-            X = patches[bi, yi, xi]                       # [P, c_in*h*w]
-            X = X.reshape(-1, c_in, h, w)                 # (c, kh, kw) order
+
+            def window(b, y, xx):
+                win = jax.lax.dynamic_slice(
+                    xp, (b, y * strides[0], xx * strides[1], 0),
+                    (1, h, w, c_in))[0]
+                return win.transpose(2, 0, 1)             # (c, kh, kw) order
+
+            X = jax.vmap(window)(bi, yi, xi)              # [P, c_in, h, w]
             Y = y_full[bi, yi, xi].astype(jnp.float32)    # [P, c_out]
             return X, Y
 
         self._samplers[path] = sample
         return sample
 
-    def collect(self, spec, fparams, fbstats, train_iter, rng):
-        """Host-side accumulation over cp_nb_batches batches."""
+    def collect(self, spec, oparams, obstats, cparams, cbstats, train_iter,
+                rng):
+        """Host-side accumulation over cp_nb_batches batches.
+
+        ``oparams/obstats`` = the ORIGINAL unpruned net (reconstruction
+        targets), ``cparams/cbstats`` = the current partially-pruned net
+        (layer inputs)."""
         sample = self._sampler(spec)
         Xs, Ys = [], []
         for i in range(FLAGS.cp_nb_batches):
-            X, Y = sample(fparams, fbstats, next(train_iter),
-                          jax.random.fold_in(rng, i))
+            X, Y = sample(oparams, obstats, cparams, cbstats,
+                          next(train_iter), jax.random.fold_in(rng, i))
             Xs.append(np.asarray(jax.device_get(X)))
             Ys.append(np.asarray(jax.device_get(Y)))
         return np.concatenate(Xs), np.concatenate(Ys)

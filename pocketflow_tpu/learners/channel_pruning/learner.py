@@ -144,9 +144,10 @@ class ChannelPrunedLearner(AbstractLearner):
     # ------------------------------------------------------------------
 
     def _setup_pruner(self, state: TrainState):
-        sample = next(self.dataset_train.build())
+        # shape-only peek: build() would leak a prefetch pipeline
+        sample = self.dataset_train.peek_batch(2)
         sample_images = self.dataset_train.augment_images(
-            {k: jnp.asarray(v[:2]) for k, v in sample.items()},
+            {k: jnp.asarray(v) for k, v in sample.items()},
             jax.random.PRNGKey(0), False)
         self.specs = cp_lib.conv_layer_specs(
             self.model, state.params, state.batch_stats, sample_images)
@@ -160,7 +161,15 @@ class ChannelPrunedLearner(AbstractLearner):
             return [FLAGS.cp_uniform_preserve_ratio] * nb
         if FLAGS.cp_prune_option == 'list':
             with open(FLAGS.cp_prune_list_file) as fin:
-                return [float(s) for s in fin.readline().strip().split(',')]
+                text = fin.read().replace('\n', ',')
+            ratios = [float(s) for s in text.split(',') if s.strip()]
+            if len(ratios) != nb:
+                # zip() would silently truncate and the mask builder would
+                # KeyError layers the loop never visited
+                raise ValueError(
+                    'cp_prune_list_file has %d ratios but the model has %d '
+                    'prunable conv layers' % (len(ratios), nb))
+            return ratios
         raise ValueError('unexpected prune option: ' + FLAGS.cp_prune_option)
 
     def prune_with_ratios(self, state: TrainState,
@@ -175,6 +184,14 @@ class ChannelPrunedLearner(AbstractLearner):
         """
         fbstats = state.batch_stats
         params = jax.device_get(self.copy_state(state).params)
+        # the ORIGINAL net stays on device for the whole prune pass: it is
+        # the reconstruction target of every layer (reference feats_dict);
+        # the current net is mirrored on device and only the single pruned
+        # kernel is re-uploaded per layer (re-putting the whole ~100 MB tree
+        # per layer per roll-out serialized ~1 TB of host->device transfer
+        # over an AMC search)
+        orig_dev = jax.device_put(params)
+        cur_dev = jax.device_put(params)
         # one prefetching iterator + one jitted finetune step for the WHOLE
         # search: a fresh build()/jit per rollout would leak a prefetch
         # thread and recompile the step on each of the ~200 AMC roll-outs
@@ -196,21 +213,45 @@ class ChannelPrunedLearner(AbstractLearner):
                 self.log.info('layer %s: kept %d/%d channels (target %.2f, '
                               'no pruning)', path, c_in, c_in, ratio)
                 continue
-            # sample from the CURRENT (partially pruned) params
-            X, Y = self.pruner.collect(spec, jax.device_put(params),
-                                       fbstats, train_iter, self.next_rng())
+            # X from the CURRENT (partially pruned) net, Y targets from the
+            # ORIGINAL net
+            X, Y = self.pruner.collect(spec, orig_dev, state.batch_stats,
+                                       cur_dev, fbstats, train_iter,
+                                       self.next_rng())
             kernel = params
+            cur_kernel = cur_dev
             for key in path.split('/'):
                 kernel = kernel[key]
+                cur_kernel = cur_kernel[key]
             new_kernel, idxs = self.pruner.prune_layer(
                 spec, kernel['kernel'], X, Y, ratio)
             kernel['kernel'] = np.asarray(jax.device_get(new_kernel))
+            cur_kernel['kernel'] = jax.device_put(kernel['kernel'])
             chn_masks[path] = idxs.astype(np.float32)
             self.log.info('layer %s: kept %d/%d channels (target %.2f)',
                           path, int(idxs.sum()), len(idxs), ratio)
             if group_step is not None:
                 params, fbstats = self._group_finetune(
                     group_step, params, fbstats, chn_masks, train_iter)
+                cur_dev = jax.device_put(params)  # whole tree changed
+
+        if jax.process_count() > 1:
+            # each process sampled ITS OWN data shard: the selected channels
+            # and reconstructed kernels differ per process, and device_put
+            # as 'replicated' would stamp divergent host arrays as one
+            # global array — broadcast the primary's results like the WS
+            # optimizer does (pr_optimizer.py broadcast after search)
+            from pocketflow_tpu.core import mesh as mesh_lib
+            params = jax.tree_util.tree_map(
+                lambda a: np.asarray(jax.device_get(
+                    mesh_lib.broadcast_from_primary(jnp.asarray(a)))), params)
+            fbstats = jax.tree_util.tree_map(
+                lambda a: np.asarray(jax.device_get(
+                    mesh_lib.broadcast_from_primary(jnp.asarray(a)))),
+                jax.device_get(fbstats))
+            chn_masks = {k: np.asarray(jax.device_get(
+                mesh_lib.broadcast_from_primary(jnp.asarray(v))))
+                for k, v in chn_masks.items()}
 
         def mk(path, leaf):
             pstr = masking.path_str(path)
@@ -357,11 +398,16 @@ class ChannelPrunedLearner(AbstractLearner):
                         best_ratios if best_ratios is not None else ratios,
                         np.float32)})
         if best_ratios is None:
-            # every reward was NaN/-inf (e.g. a degenerate bf16 blow-up):
-            # fall back to the final rollout instead of crashing the search
+            # every reward was NaN/-inf (e.g. a degenerate bf16 blow-up), or
+            # a resume landed past cp_nb_rlouts with an unusable restored
+            # ratio list and the loop never ran ('ratios' then unbound):
+            # fall back instead of crashing the search
             self.log.warning('no rollout produced a finite best reward; '
-                             'falling back to the final rollout ratios')
-            best_ratios = ratios
+                             'falling back to %s ratios',
+                             'the final rollout' if 'ratios' in locals()
+                             else 'uniform cp_preserve_ratio')
+            best_ratios = (ratios if 'ratios' in locals()
+                           else [FLAGS.cp_preserve_ratio] * len(self.specs))
         # multi-host: process 0's search decision wins (collective sync)
         from pocketflow_tpu.core import mesh as mesh_lib
         arr = mesh_lib.broadcast_from_primary(
@@ -373,6 +419,17 @@ class ChannelPrunedLearner(AbstractLearner):
     # ------------------------------------------------------------------
 
     def train(self) -> TrainState:
+        if self.enbl_tp:
+            # the LASSO prune/search path mixes host-side kernel surgery,
+            # replicated device_puts, and mid-search set_extra mutations —
+            # none of which honor a TP sharding tree (the jitted programs'
+            # in/out_shardings would mismatch mid-search).  Fail loudly:
+            # run the search/prune data-parallel, then fine-tune the
+            # resulting checkpoint under TP.
+            raise NotImplementedError(
+                'ChannelPrunedLearner does not support tensor parallelism '
+                'during prune/search; run with --mesh_model_parallel=1 and '
+                'fine-tune the pruned checkpoint under TP')
         state, tx, _ = self.init_state()
         state, _ = self.restore_baseline(state)
         self._setup_pruner(state)

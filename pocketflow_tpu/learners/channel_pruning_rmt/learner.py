@@ -115,9 +115,9 @@ class ChannelPrunedRmtLearner(AbstractLearner):
     # ------------------------------------------------------------------
 
     def _setup(self, state: TrainState):
-        sample = next(self.dataset_train.build())
+        sample = self.dataset_train.peek_batch(2)  # no pipeline leak
         sample_images = self.dataset_train.augment_images(
-            {k: jnp.asarray(v[:2]) for k, v in sample.items()},
+            {k: jnp.asarray(v) for k, v in sample.items()},
             jax.random.PRNGKey(0), False)
         specs = cp_lib.conv_layer_specs(
             self.model, state.params, state.batch_stats, sample_images)
@@ -139,7 +139,14 @@ class ChannelPrunedRmtLearner(AbstractLearner):
     def prune_all_layers(self, state: TrainState) -> TrainState:
         fbstats = state.batch_stats
         params = jax.device_get(self.copy_state(state).params)
-        train_iter = self.dataset_train.build()
+        # original net on device = reconstruction target for every layer
+        # (the reference's full-net placeholders); the current net mirrors
+        # on device with only the pruned kernel re-uploaded per layer
+        orig_dev = jax.device_put(params)
+        cur_dev = jax.device_put(params)
+        if getattr(self, '_cpr_train_iter', None) is None:
+            self._cpr_train_iter = self.dataset_train.build()
+        train_iter = self._cpr_train_iter
         # sample bank sized to cpr_nb_smpls x crops via the cp sampler knobs
         nb_batches = max(1, FLAGS.cpr_nb_smpls // max(
             1, self.dataset_train.batch_size))
@@ -151,11 +158,14 @@ class ChannelPrunedRmtLearner(AbstractLearner):
                 h, w, c_in, c_out = spec['kernel_shape']
                 ratio = FLAGS.cpr_prune_ratio
                 c_keep = max(1, int(round((1.0 - ratio) * c_in)))
-                X, Y = self.pruner.collect(spec, jax.device_put(params),
-                                           fbstats, train_iter, self.next_rng())
+                X, Y = self.pruner.collect(spec, orig_dev, state.batch_stats,
+                                           cur_dev, fbstats, train_iter,
+                                           self.next_rng())
                 kernel_dict = params
+                cur_kernel = cur_dev
                 for key in path.split('/'):
                     kernel_dict = kernel_dict[key]
+                    cur_kernel = cur_kernel[key]
                 W2 = np.asarray(kernel_dict['kernel'], np.float32)
 
                 # meta-LASSO channel scores (top-(1-r) channels survive)
@@ -184,9 +194,21 @@ class ChannelPrunedRmtLearner(AbstractLearner):
                 new_kernel[:, :, idxs, :] = np.transpose(Wnew, (1, 2, 0, 3))
                 kernel_dict['kernel'] = new_kernel.astype(
                     np.asarray(kernel_dict['kernel']).dtype)
+                cur_kernel['kernel'] = jax.device_put(kernel_dict['kernel'])
                 chn_masks[path] = idxs.astype(np.float32)
                 self.log.info('layer %s: kept %d/%d channels', path,
                               int(idxs.sum()), c_in)
+
+        if jax.process_count() > 1:
+            # per-process data shards select different channels/kernels —
+            # broadcast the primary's results before stamping 'replicated'
+            from pocketflow_tpu.core import mesh as mesh_lib
+            params = jax.tree_util.tree_map(
+                lambda a: np.asarray(jax.device_get(
+                    mesh_lib.broadcast_from_primary(jnp.asarray(a)))), params)
+            chn_masks = {k: np.asarray(jax.device_get(
+                mesh_lib.broadcast_from_primary(jnp.asarray(v))))
+                for k, v in chn_masks.items()}
 
         def mk(path, leaf):
             pstr = masking.path_str(path)

@@ -253,9 +253,9 @@ class DisChnPrunedLearner(AbstractLearner):
     # ------------------------------------------------------------------
 
     def choose_discr_chns(self, state: TrainState) -> TrainState:
-        sample = next(self.dataset_train.build())
+        sample = self.dataset_train.peek_batch(2)  # no pipeline leak
         sample_images = self.dataset_train.augment_images(
-            {k: jnp.asarray(v[:2]) for k, v in sample.items()},
+            {k: jnp.asarray(v) for k, v in sample.items()},
             jax.random.PRNGKey(0), False)
         conv_paths, layer_to_block, head_sites = self.discover_structure(
             state.params, state.batch_stats, sample_images)
@@ -358,9 +358,9 @@ class DisChnPrunedLearner(AbstractLearner):
 
     def evaluate(self) -> Dict[str, float]:
         state, _, _ = self.init_state()
-        sample = next(self.dataset_train.build())
+        sample = self.dataset_train.peek_batch(2)  # no pipeline leak
         sample_images = self.dataset_train.augment_images(
-            {k: jnp.asarray(v[:2]) for k, v in sample.items()},
+            {k: jnp.asarray(v) for k, v in sample.items()},
             jax.random.PRNGKey(0), False)
         conv_paths, _, _ = self.discover_structure(
             state.params, state.batch_stats, sample_images)

@@ -125,13 +125,18 @@ def percentile_threshold_bisect(mag: jax.Array, prune_ratio: jax.Array,
 
 
 def percentile_mask(weights: jax.Array, prune_ratio: jax.Array) -> jax.Array:
-    """mask = |w| > percentile(|w|, prune_ratio*100) (learner.py:285-287)."""
+    """mask = |w| > percentile(|w|, prune_ratio*100) (learner.py:285-287).
+
+    ratio<=0 keeps EVERYTHING: quantile(|w|, 0) is min(|w|), so the naive
+    formula would zero every min-magnitude weight of a layer whose ratio is
+    exactly 0 (e.g. skip_head_n_tail layers) on every mask refresh."""
     mag = jnp.abs(weights.astype(jnp.float32))
     if mag.size >= _BISECT_MIN_SIZE:
         thres = percentile_threshold_bisect(mag, prune_ratio)
     else:
         thres = jnp.quantile(mag.reshape(-1), jnp.clip(prune_ratio, 0.0, 1.0))
-    return (mag > thres).astype(jnp.float32)
+    mask = (mag > thres).astype(jnp.float32)
+    return jnp.where(prune_ratio <= 0.0, jnp.ones_like(mask), mask)
 
 
 def prune_update(params, extra: Dict[str, Any], step: jax.Array,

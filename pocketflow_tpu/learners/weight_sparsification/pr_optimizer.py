@@ -186,11 +186,24 @@ class PROptimizer:
                 'rlout #%d: reward=%.4f (best=%.4f, overall pr=%.4f)',
                 idx_rlout, reward, reward_best, rl_helper.calc_overall_prune_ratio())
             if learner.is_primary_worker():
+                save_ratios = ratios_best if ratios_best is not None else ratios
                 agent.save_search(search_path, extras={
                     'idx_rlout': idx_rlout, 'reward_best': reward_best,
                     'ratios_best': np.asarray(
-                        [ratios_best[p] for p in paths], np.float32)})
+                        [save_ratios[p] for p in paths], np.float32)})
 
+        if ratios_best is None:
+            # every reward was NaN/-inf, the roll-out loop never ran
+            # (ws_nb_rlouts=0 / resume past the end), or the restored best
+            # failed validation: fall back like the CP search does instead
+            # of crashing on a None lookup
+            self.log.warning('no rollout produced a usable best ratio set; '
+                             'falling back to %s',
+                             'the final rollout' if 'ratios' in locals()
+                             else 'uniform ws_prune_ratio')
+            ratios_best = (dict(ratios) if 'ratios' in locals()
+                           else {p: float(FLAGS.ws_prune_ratio)
+                                 for p in paths})
         # multi-host: processes see different data shards, so roll-out
         # rewards (hence best ratios) can diverge — process 0's decision wins
         # (the collective replacement for the reference's rank-0 text files,

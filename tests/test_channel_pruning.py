@@ -152,7 +152,8 @@ def test_patch_sampler_aligns_with_valid_padding_convs():
 
         pruner = cp.ChannelPruner(model, helper.build_dataset_train(), specs)
         batch = next(helper.build_dataset_train().build())
-        X, Y = pruner._sampler(spec)(params, bstats, batch,
+        # orig == current here: the identity must hold either way
+        X, Y = pruner._sampler(spec)(params, bstats, params, bstats, batch,
                                      jax.random.PRNGKey(2))
         h, w, c_in, c_out = spec['kernel_shape']
         kernel = params
@@ -164,3 +165,23 @@ def test_patch_sampler_aligns_with_valid_padding_convs():
         pred = np.einsum('pchw,hwco->po', Xn, W)
         Yn = np.asarray(Y, np.float32)
         np.testing.assert_allclose(pred, Yn, rtol=2e-2, atol=2e-2)
+
+        # reconstruction targets come from the ORIGINAL net (reference
+        # regresses toward the unpruned feature maps so per-layer error is
+        # corrected, channel_pruner.py:610): with a perturbed 'current' net,
+        # Y must still satisfy the identity against the ORIGINAL kernel
+        # while X comes from the current forward
+        import copy
+        cur = copy.deepcopy(jax.device_get(params))
+        node = cur
+        for key in specs[0]['path'].split('/'):
+            node = node[key]
+        node['kernel'] = np.asarray(node['kernel']) * 0.5  # upstream change
+        X2, Y2 = pruner._sampler(spec)(params, bstats, cur, bstats, batch,
+                                       jax.random.PRNGKey(2))
+        pred2 = np.einsum('pchw,hwco->po', np.asarray(X2, np.float32), W)
+        # same sample positions (same rng): Y2 is the original net's output,
+        # so it must NOT equal the current net's X2 @ W unless X2 == X
+        np.testing.assert_allclose(np.asarray(Y2), Yn, rtol=1e-5, atol=1e-5)
+        assert not np.allclose(np.asarray(X2), Xn, atol=1e-5)
+        assert not np.allclose(pred2, np.asarray(Y2), atol=2e-2)
