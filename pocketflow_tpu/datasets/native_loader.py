@@ -33,14 +33,23 @@ def _build_lib() -> Optional[str]:
     out = os.path.join(cache_dir, 'libpfdata.so')
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(_SRC):
         return out
-    cmd = ['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-o', out, _SRC,
+    # compile to a process-private temp and os.replace: a killed g++ (or two
+    # processes sharing the cache) must never leave a truncated .so at the
+    # final path — its fresh mtime would suppress rebuilds forever
+    tmp = '%s.%d.tmp' % (out, os.getpid())
+    cmd = ['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-o', tmp, _SRC,
            '-lpthread']
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
         return out
     except (subprocess.CalledProcessError, FileNotFoundError,
-            subprocess.TimeoutExpired) as exc:
+            subprocess.TimeoutExpired, OSError) as exc:
         log.warning('native pfdata build failed (%s); using the NumPy path', exc)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -54,7 +63,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
     path = _build_lib()
     if path is None:
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError as exc:
+        # a corrupt cached .so (e.g. from a pre-atomic-write version) must
+        # degrade to the NumPy path, not crash data loading; drop the cache
+        # so the next run rebuilds
+        log.warning('cached libpfdata.so unloadable (%s); rebuilding next '
+                    'run, using the NumPy path now', exc)
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        return None
     lib.pfdata_parse_cifar10.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     lib.pfdata_sampler_create.restype = ctypes.c_void_p

@@ -19,11 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def generate_anchors(image_size: int,
-                     feature_sizes: Sequence[int],
+def generate_anchors(feature_sizes: Sequence[int],
                      scales: Sequence[float],
                      aspect_ratios: Sequence[Sequence[float]]) -> np.ndarray:
-    """Anchor boxes [A, 4] as (ymin, xmin, ymax, xmax), normalized to [0,1].
+    """Anchor boxes [A, 4] as (ymin, xmin, ymax, xmax), normalized to [0,1]
+    (purely fractional — independent of the pixel resolution).
 
     scales has len(feature_sizes)+1 entries (the extra one forms the
     sqrt(s_k * s_{k+1}) anchor, standard SSD).
@@ -105,18 +105,27 @@ def match_anchors(gt_boxes: jax.Array, gt_classes: jax.Array,
     iou = iou * gt_valid[None, :]                          # kill padded gts
     best_gt = jnp.argmax(iou, axis=1)                      # [A]
     best_iou = jnp.max(iou, axis=1)                        # [A]
-    # bipartite: each valid gt forces its best anchor.  Padded/difficult
-    # rows (valid <= 0) have all-zero IoU columns whose argmax is anchor 0 —
-    # they must NOT scatter, or a real gt forcing anchor 0 can lose the
-    # duplicate-index race to a padding row (class 0 + zero-box targets)
-    best_anchor = jnp.argmax(iou, axis=0)                  # [M]
+    # bipartite: each valid gt forces its best STILL-FREE anchor (greedy
+    # over gts).  A shared-best scatter would keep only one of two gts
+    # whose best anchor coincides — the loser could end up with ZERO
+    # positive anchors that step (adjacent small objects in one cell).
+    # Padded/difficult rows (valid <= 0) never claim an anchor.
     nb_anchors = anchors.shape[0]
-    safe_anchor = jnp.where(gt_valid > 0.5, best_anchor, nb_anchors)
-    forced = jnp.zeros(nb_anchors, jnp.float32)
-    forced = forced.at[safe_anchor].max(gt_valid, mode='drop')
-    gt_of_forced = jnp.zeros(nb_anchors, jnp.int32)
-    gt_of_forced = gt_of_forced.at[safe_anchor].set(
-        jnp.arange(gt_boxes.shape[0], dtype=jnp.int32), mode='drop')
+
+    def claim(g, carry):
+        taken, forced, gt_of = carry
+        col = jnp.where(taken, -1.0, iou[:, g])
+        a = jnp.argmax(col)
+        ok = gt_valid[g] > 0.5
+        taken = taken.at[a].set(jnp.logical_or(taken[a], ok))
+        forced = forced.at[a].max(jnp.where(ok, 1.0, 0.0))
+        gt_of = gt_of.at[a].set(jnp.where(ok, g, gt_of[a]))
+        return taken, forced, gt_of
+
+    _, forced, gt_of_forced = jax.lax.fori_loop(
+        0, gt_boxes.shape[0], claim,
+        (jnp.zeros(nb_anchors, bool), jnp.zeros(nb_anchors, jnp.float32),
+         jnp.zeros(nb_anchors, jnp.int32)))
     pos_mask = jnp.logical_or(best_iou >= pos_threshold, forced > 0.5)
     gt_idx = jnp.where(forced > 0.5, gt_of_forced, best_gt)
     cls_targets = jnp.where(

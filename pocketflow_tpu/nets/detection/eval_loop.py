@@ -25,17 +25,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def nb_eval_batches(dataset, nb_batches: Optional[int] = None) -> int:
-    """Whole batches covering this process's loaded eval shard once."""
-    if nb_batches is not None:
-        return nb_batches
+def _per_process_eval_count(dataset) -> int:
+    """Samples this process must score: the FULL local shard single-host
+    (reference parity: all 4,952 VOC test images), the equal floor share
+    under multi-host (the allgather needs equal per-process counts; up to
+    P-1 samples are dropped and logged)."""
     nb_smpls = getattr(dataset, 'nb_smpls_loaded', None)
     if nb_smpls is None:
         nb_smpls = dataset.spec.nb_smpls_eval
-    # nb_smpls_loaded is recorded BEFORE the process-shard split
-    # (datasets/abstract.py): divide like run_eval_loop does
-    return max(1, nb_smpls // (dataset.batch_size
-                               * max(1, jax.process_count())))
+    nb_procs = max(1, jax.process_count())
+    return max(1, nb_smpls // nb_procs) if nb_procs > 1 else nb_smpls
+
+
+def nb_eval_batches(dataset, nb_batches: Optional[int] = None) -> int:
+    """Batches covering this process's eval share once (CEIL — the dump
+    loop truncates the wrap-around tail so no image is scored twice and,
+    single-host, none is dropped)."""
+    if nb_batches is not None:
+        return nb_batches
+    return max(1, -(-_per_process_eval_count(dataset) // dataset.batch_size))
 
 
 def allgather_detections(detections: List[List[dict]],
@@ -110,6 +118,12 @@ def run_detection_eval(helper, model, state, dataset, forward_fn,
             jax.random.PRNGKey(0), False)
         out = fwd(variables, abatch['image'])
         helper.dump_n_eval((out, abatch['label']), 'dump')
+    if nb_batches is None:
+        # ceil coverage wraps the iterator past the set: drop the re-dumped
+        # head so every image is scored exactly once
+        target = _per_process_eval_count(dataset)
+        helper._detections = helper._detections[:target]
+        helper._groundtruth = helper._groundtruth[:target]
     if jax.process_count() > 1:
         helper._detections, helper._groundtruth = allgather_detections(
             helper._detections, helper._groundtruth)

@@ -57,7 +57,7 @@ class ModelHelper(AbstractModelHelper):
         feature_sizes = SSDVGG.feature_sizes(image_size)
         nb_scales = len(feature_sizes)
         self.anchors_np = anchor_lib.generate_anchors(
-            image_size, feature_sizes, SSD_SCALES[:nb_scales + 1],
+            feature_sizes, SSD_SCALES[:nb_scales + 1],
             SSD_ASPECTS[:nb_scales])
         self._detections: List[List[Dict]] = []
         self._groundtruth: List[np.ndarray] = []
@@ -70,7 +70,10 @@ class ModelHelper(AbstractModelHelper):
 
     def create_model(self):
         dtype = jnp.bfloat16 if FLAGS.compute_dtype == 'bfloat16' else jnp.float32
-        return SSDVGG(nb_classes=self.nb_classes, nb_anchors_per_cell=4,
+        # derived, not hardcoded: generate_anchors emits 2 + len(aspects)
+        # anchors per cell, and the heads must agree
+        return SSDVGG(nb_classes=self.nb_classes,
+                      nb_anchors_per_cell=2 + len(SSD_ASPECTS[0]),
                       dtype=dtype)
 
     def calc_loss(self, labels, outputs, trainable_vars):
@@ -106,12 +109,18 @@ class ModelHelper(AbstractModelHelper):
         checkpoint (``--save_path``) into the `vgg/` backbone by name+shape
         intersection — the reference's renamed-variable restore (:479-552)."""
         from pocketflow_tpu.core import checkpoint as ckpt_lib
+        from pocketflow_tpu.core.metrics import get_logger
         params, nb = ckpt_lib.restore_intersecting(
             FLAGS.save_path, state.params, prefix_map={'': 'vgg/'})
+        log = get_logger()
         if nb:
-            import logging
-            logging.getLogger('pocketflow_tpu').info(
-                'warm start: %d backbone tensors grafted', nb)
+            log.info('warm start: %d backbone tensors grafted', nb)
+        else:
+            # a silent no-op means the SSD trains from random init while the
+            # user believes the VGG backbone was grafted
+            log.warning('warm_start grafted NO tensors from %s — is the '
+                        'checkpoint missing or from a different trunk?',
+                        FLAGS.save_path)
         return state.replace(params=params)
 
     # ------------------------------------------------------------------

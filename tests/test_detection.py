@@ -10,7 +10,7 @@ from pocketflow_tpu.config import FLAGS
 
 def test_anchor_generation_counts():
     from pocketflow_tpu.nets.detection.anchors import generate_anchors
-    anchors = generate_anchors(64, [8, 4], [0.2, 0.4, 0.6], [[2.0, 0.5]] * 2)
+    anchors = generate_anchors([8, 4], [0.2, 0.4, 0.6], [[2.0, 0.5]] * 2)
     assert anchors.shape == ((64 + 16) * 4, 4)
     assert np.all(anchors >= 0.0) and np.all(anchors <= 1.0)
 
@@ -30,7 +30,7 @@ def test_iou_and_encode_decode_roundtrip():
 
 def test_match_anchors_assigns_best():
     from pocketflow_tpu.nets.detection.anchors import generate_anchors, match_anchors
-    anchors = jnp.asarray(generate_anchors(64, [8], [0.3, 0.6], [[2.0, 0.5]]))
+    anchors = jnp.asarray(generate_anchors([8], [0.3, 0.6], [[2.0, 0.5]]))
     gt_boxes = jnp.asarray([[0.2, 0.2, 0.5, 0.5], [0.0, 0.0, 0.0, 0.0]])
     gt_cls = jnp.asarray([3.0, 0.0])
     gt_valid = jnp.asarray([1.0, 0.0])
@@ -69,7 +69,7 @@ def test_ssd_loss_decreases_with_matching_logits():
                                                        generate_anchors,
                                                        match_anchors)
     from pocketflow_tpu.nets.detection.ssd_loss import ssd_loss
-    anchors = jnp.asarray(generate_anchors(64, [4], [0.4, 0.8], [[2.0, 0.5]]))
+    anchors = jnp.asarray(generate_anchors([4], [0.4, 0.8], [[2.0, 0.5]]))
     A = anchors.shape[0]
     labels = np.zeros((1, 4, 6), np.float32)
     labels[0, 0] = [1, 0.2, 0.2, 0.6, 0.6, 1.0]
