@@ -223,11 +223,15 @@ def run_automl(objective_fn: Callable[[Dict[str, float]], float],
 
 
 def ws_constraint(proposal: Dict[str, float]) -> Dict[str, float]:
-    """cvt_hparam_file.py's repair: iter_ratio_beg must precede iter_ratio_end."""
-    if ('ws_iter_ratio_beg' in proposal and 'ws_iter_ratio_end' in proposal
-            and proposal['ws_iter_ratio_beg'] > proposal['ws_iter_ratio_end']):
-        beg, end = proposal['ws_iter_ratio_end'], proposal['ws_iter_ratio_beg']
-        proposal = {**proposal, 'ws_iter_ratio_beg': beg, 'ws_iter_ratio_end': end}
+    """cvt_hparam_file.py's repair (reference :41): the proposed 'end' is a
+    FRACTION of the remaining [beg, 1] interval —
+    ``end <- beg + end * (1 - beg)`` unconditionally.  (A conditional swap
+    would collapse distinct proposals into one config and change the search
+    geometry the GP/TPE models see.)"""
+    if 'ws_iter_ratio_beg' in proposal and 'ws_iter_ratio_end' in proposal:
+        beg = proposal['ws_iter_ratio_beg']
+        end = beg + proposal['ws_iter_ratio_end'] * (1.0 - beg)
+        proposal = {**proposal, 'ws_iter_ratio_end': end}
     return proposal
 
 

@@ -65,6 +65,20 @@ def capture_forward(model, variables, images, stop_input_grads=False,
     return policy.captured
 
 
+def capture_forward_with_output(model, variables, images,
+                                stop_input_grads=False, inner=None,
+                                train=False):
+    """Like capture_forward, but also returns the model output — callers
+    needing both (e.g. DCP's final-loss term) get them from ONE forward."""
+    policy = CapturePolicy(stop_input_grads=stop_input_grads, inner=inner)
+    with compression(policy):
+        out = model.apply(variables, images, train=train,
+                          **({'mutable': ['batch_stats']} if train else {}))
+    if train:
+        out = out[0]
+    return policy.captured, out
+
+
 def regression_paths_filter(model_name: str, path: str) -> bool:
     """Which core-op outputs are regression targets (WS pr_optimizer.py:292-296):
     mobilenets regress only pointwise + final 1x1 convs; others all convs/fcs."""

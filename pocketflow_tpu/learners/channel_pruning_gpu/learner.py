@@ -44,7 +44,7 @@ import optax
 
 from pocketflow_tpu.config import FLAGS
 from pocketflow_tpu.learners.abstract_learner import AbstractLearner, TrainState
-from pocketflow_tpu.learners.capture import capture_forward, regression_paths_filter
+from pocketflow_tpu.learners.capture import capture_forward
 from pocketflow_tpu.learners.weight_sparsification import masking
 
 FLAGS.DEFINE_string('cpg_save_path', './models_cpg/model.ckpt', "CPG: model's save path")
@@ -113,7 +113,13 @@ class ChannelPrunedGpuLearner(AbstractLearner):
             return ratios
         if FLAGS.cpg_prune_ratio_type == 'list':
             with open(FLAGS.cpg_prune_ratio_file) as fin:
-                return [float(s) for s in fin.readline().strip().split(',')]
+                text = fin.read().replace('\n', ',')
+            ratios = [float(s) for s in text.split(',') if s.strip()]
+            if len(ratios) != nb_layers:
+                raise ValueError(
+                    'cpg_prune_ratio_file has %d ratios but the model has %d '
+                    'prunable conv layers' % (len(ratios), nb_layers))
+            return ratios
         raise ValueError('unrecognized pruning ratio type: ' + FLAGS.cpg_prune_ratio_type)
 
     # ------------------------------------------------------------------
@@ -121,9 +127,8 @@ class ChannelPrunedGpuLearner(AbstractLearner):
     def _build_channel_select_programs(self, paths: List[str]):
         """Jitted programs for the PGD selection + layer reconstruction."""
         model = self.model
-        helper = self.helper = self.model_helper
+        self.helper = self.model_helper
         augment_images = self.dataset_train.augment_images
-        model_name = helper.model_name
         path_index = {p: i for i, p in enumerate(paths)}
 
         # module paths of the prunable kernels, in `paths` order
@@ -149,7 +154,7 @@ class ChannelPrunedGpuLearner(AbstractLearner):
 
         tx_adam = relative_adam(FLAGS.cpg_lrn_rate_adam)
 
-        def reg_losses_and_grads(fparams, fbstats, pruned):
+        def reg_losses_and_grads(fparams, fbstats):
             """Per-layer reg losses [L] (aligned with `paths`) + summed loss."""
             def total_loss(pp, images):
                 targets = {p: jax.lax.stop_gradient(a) for p, a in capture_forward(
@@ -166,7 +171,7 @@ class ChannelPrunedGpuLearner(AbstractLearner):
         @jax.jit
         def pgd_step(fparams, fbstats, pruned, lrn_rates, percentiles, batch):
             images = augment_images(batch, jax.random.PRNGKey(0), False)
-            loss_fn = reg_losses_and_grads(fparams, fbstats, pruned)
+            loss_fn = reg_losses_and_grads(fparams, fbstats)
             grads, losses = jax.grad(lambda pp: loss_fn(pp, images),
                                      has_aux=True)(pruned)
 
@@ -198,7 +203,7 @@ class ChannelPrunedGpuLearner(AbstractLearner):
         def recon_step(fparams, fbstats, pruned, masks, opt_state, batch):
             """Layer reconstruction on surviving channels (Adam, :385-392)."""
             images = augment_images(batch, jax.random.PRNGKey(0), False)
-            loss_fn = reg_losses_and_grads(fparams, fbstats, pruned)
+            loss_fn = reg_losses_and_grads(fparams, fbstats)
             grads, losses = jax.grad(lambda pp: loss_fn(pp, images),
                                      has_aux=True)(pruned)
             grads = jax.tree_util.tree_map_with_path(
@@ -249,6 +254,18 @@ class ChannelPrunedGpuLearner(AbstractLearner):
                 fparams, fbstats, pruned, masks, opt_state, next(train_iter))
         # freeze pruned channels exactly at zero after reconstruction
         pruned = jax.jit(masking.apply_masks)(pruned, masks)
+        if jax.process_count() > 1:
+            # PGD losses (hence adaptive lrn_rates, shrinkage, selections)
+            # came from each process's own data shard: broadcast the
+            # primary's result before treating it as replicated, like the
+            # other selection learners
+            from pocketflow_tpu.core import mesh as mesh_lib
+            pruned = jax.tree_util.tree_map(
+                lambda a: mesh_lib.broadcast_from_primary(jnp.asarray(a)),
+                jax.device_get(pruned))
+            masks = jax.tree_util.tree_map(
+                lambda a: mesh_lib.broadcast_from_primary(jnp.asarray(a)),
+                jax.device_get(masks))
         state = self.set_extra(state.replace(params=pruned), {'masks': masks})
         return state, state.extra['masks']
 
@@ -283,7 +300,9 @@ class ChannelPrunedGpuLearner(AbstractLearner):
             lambda path, l: jnp.ones((1, 1, l.shape[2], 1), jnp.float32)
             if masking.is_maskable_path(path) and l.ndim == 4 and l.shape[2] > 1
             else jnp.ones((), jnp.float32), p))(state.params)}
-        state = state.replace(extra=extra)
+        # set_extra keeps the TP sharding contract (raw replace desyncs
+        # _state_sharding.extra from the state fed into the eval jit)
+        state = self.set_extra(state, extra)
         restored = self.restore_model(state, FLAGS.cpg_save_path)
         if restored is None:
             raise FileNotFoundError('no checkpoint found under ' + FLAGS.cpg_save_path)

@@ -108,11 +108,18 @@ class DisChnPrunedLearner(AbstractLearner):
             if kernel is not None and kernel.ndim == 4:
                 conv_paths.append(path)
         nb_layers = len(conv_paths)
-        nb_blocks = int(FLAGS.dcp_nb_stages + 1)
-        per_block = int(math.ceil((nb_layers + 1) / nb_blocks))
-        layer_to_block = [idx // per_block for idx in range(nb_layers)]
+        per_block = int(math.ceil((nb_layers + 1) / (FLAGS.dcp_nb_stages + 1)))
         head_sites = [conv_paths[idx] for idx in range(nb_layers)
                       if (idx + 1) % per_block == 0]
+        # block index = number of head sites strictly before the layer: the
+        # ACTUAL head count defines the blocks (the reference sets nb_blocks
+        # from len(dis_losses), learner.py:253-255) — dcp_nb_stages+1 can
+        # exceed it on misaligned layer counts, leaving trailing blocks with
+        # layers but no loss
+        boundaries = [idx for idx in range(nb_layers)
+                      if (idx + 1) % per_block == 0]
+        layer_to_block = [sum(1 for b in boundaries if idx > b)
+                          for idx in range(nb_layers)]
         return conv_paths, layer_to_block, head_sites
 
     # ------------------------------------------------------------------
@@ -124,16 +131,21 @@ class DisChnPrunedLearner(AbstractLearner):
         helper = self.model_helper
         augment_xy = self.dataset_train.augment_xy
         augment_images = self.dataset_train.augment_images
-        nb_blocks = int(FLAGS.dcp_nb_stages + 1)
+        nb_blocks = len(head_sites) + 1  # actual heads + the final block
         heads = {site: AuxHead(self.nb_classes) for site in head_sites}
         tx = optax.adam(FLAGS.dcp_lrn_rate_adam)
         ce = helper.softmax_cross_entropy
 
         def losses(pruned, aux, fparams, fbstats, images, labels):
             """(reg_losses [L], dis_losses [nb_heads], final_loss)."""
+            from pocketflow_tpu.learners.capture import (
+                capture_forward_with_output)
             targets = dict(capture_forward(
                 model, {'params': fparams, 'batch_stats': fbstats}, images))
-            captured = capture_forward(
+            # ONE forward of the pruned net serves both the captured
+            # activations and the final logits (a separate model.apply was a
+            # third full forward+backward that XLA could not eliminate)
+            captured, final_logits = capture_forward_with_output(
                 model, {'params': pruned, 'batch_stats': fbstats}, images)
             outs = dict(captured)
             reg = [jnp.sum(jnp.square(outs[p].astype(jnp.float32)
@@ -142,8 +154,6 @@ class DisChnPrunedLearner(AbstractLearner):
                    for p in conv_paths]
             dis = [ce(labels, heads[site].apply({'params': aux[site]}, outs[site]))
                    for site in head_sites]
-            final_logits = model.apply({'params': pruned, 'batch_stats': fbstats},
-                                       images, train=False)
             final = ce(labels, final_logits)
             return reg, dis, final
 
@@ -176,7 +186,11 @@ class DisChnPrunedLearner(AbstractLearner):
             def loss_fn(pp, ax):
                 reg, dis, final = losses(pp, ax, fparams, fbstats, images, labels)
                 blk = sum(block_onehot[i] * d for i, d in enumerate(dis))
-                return blk + block_onehot[nb_blocks - 1] * final
+                # the reference trains EVERY block on dis_loss + the final
+                # task loss (learner.py __build_block_ops: loss_all =
+                # dis_loss + dis_losses[-1]) — layers downstream of the
+                # block's head must keep receiving task gradient
+                return blk + block_onehot[nb_blocks - 1] * final + final
 
             g_p, g_a = jax.grad(loss_fn, argnums=(0, 1))(pruned, aux)
             g_p = masking.mask_gradients(g_p, masks)
@@ -229,15 +243,22 @@ class DisChnPrunedLearner(AbstractLearner):
             return tx.init(pruned)
 
         @jax.jit
-        def merge_bkup(pruned, bkup, masks):
-            """bkup <- where(mask>0, pruned, bkup); pruned <- bkup * mask
-            (the reference's var_bkup/prune assign chain)."""
-            def upd(path, p, b, m):
+        def merge_bkup(pruned, bkup, masks_old, masks_new):
+            """bkup <- where(OLD mask>0, pruned, bkup);
+            pruned <- bkup * NEW mask (the reference's var_bkup/prune chain).
+
+            The backup must be refreshed from the channels that were LIVE
+            under the old mask and the restore read under the new mask —
+            updating the backup with the new mask would copy the zeroed
+            values of a just-added channel over its saved weights, so every
+            re-added channel restarted at exactly zero."""
+            def upd(path, p, b, m_old, m_new):
                 if not masking.is_maskable_path(path):
                     return p, b
-                b = jnp.where(m > 0.5, p.astype(jnp.float32), b)
-                return (b * m).astype(p.dtype), b
-            pairs = jax.tree_util.tree_map_with_path(upd, pruned, bkup, masks)
+                b = jnp.where(m_old > 0.5, p.astype(jnp.float32), b)
+                return (b * m_new).astype(p.dtype), b
+            pairs = jax.tree_util.tree_map_with_path(upd, pruned, bkup,
+                                                     masks_old, masks_new)
             treedef = jax.tree_util.tree_structure(pruned)
             leaves = treedef.flatten_up_to(pairs)
             return (treedef.unflatten([t[0] for t in leaves]),
@@ -302,9 +323,14 @@ class DisChnPrunedLearner(AbstractLearner):
                 path = conv_paths[idx_layer]
                 nb_chns = chn_counts[path]
                 layer_onehot = jnp.zeros(nb_layers).at[idx_layer].set(1.0)
+                masks_before = device_masks()  # layer still fully live
                 host_masks[path] = np.zeros(nb_chns, np.float32)
                 grad_norm_mask = np.ones(nb_chns)
-                pruned, bkup = programs['merge_bkup'](pruned, bkup, device_masks())
+                # save the layer's block-FT weights into the backup (old
+                # mask = all-ones), then zero it (new mask)
+                masks = device_masks()
+                pruned, bkup = programs['merge_bkup'](pruned, bkup,
+                                                      masks_before, masks)
                 layer_opt = programs['layer_opt_init'](pruned)
                 prune_ratio = 1.0
                 while prune_ratio > FLAGS.dcp_prune_ratio:
@@ -312,11 +338,15 @@ class DisChnPrunedLearner(AbstractLearner):
                         fparams, fbstats, pruned, aux,
                         next(train_iter), layer_onehot, block_onehot)))[:nb_chns]
                     idx_chn = int(np.argmax((norms + 1e-8) * grad_norm_mask))
+                    masks_old = masks
                     host_masks[path][idx_chn] = 1.0
                     grad_norm_mask[idx_chn] = 0.0
                     masks = device_masks()
                     # restore the newly added channel's weights from backup
-                    pruned, bkup = programs['merge_bkup'](pruned, bkup, masks)
+                    # (backup refresh reads the OLD mask so the zeroed value
+                    # of the added channel cannot clobber its saved weights)
+                    pruned, bkup = programs['merge_bkup'](pruned, bkup,
+                                                          masks_old, masks)
                     for _ in range(nb_iters_layer):
                         pruned, layer_opt = programs['layer_ft'](
                             fparams, fbstats, pruned, aux, masks, layer_opt,
@@ -325,6 +355,18 @@ class DisChnPrunedLearner(AbstractLearner):
                         host_masks[path])) / nb_chns
                 self.log.info('layer %s: prune_ratio = %.4f', path, prune_ratio)
 
+        if jax.process_count() > 1:
+            # per-process data shards drove per-host argmax channel choices:
+            # broadcast the primary's selection like the CP/WS/UQ searches
+            from pocketflow_tpu.core import mesh as mesh_lib
+            host_p = jax.device_get(pruned)
+            pruned = jax.tree_util.tree_map(
+                lambda a: mesh_lib.broadcast_from_primary(jnp.asarray(a)),
+                host_p)
+            for key in host_masks:
+                host_masks[key] = np.asarray(jax.device_get(
+                    mesh_lib.broadcast_from_primary(
+                        jnp.asarray(host_masks[key]))))
         masks = device_masks()
         pruned = jax.jit(masking.apply_masks)(pruned, masks)
         return self.set_extra(state.replace(params=pruned), {'masks': masks})
@@ -373,7 +415,9 @@ class DisChnPrunedLearner(AbstractLearner):
             return jnp.ones((), jnp.float32)
 
         masks = jax.tree_util.tree_map_with_path(mk, state.params)
-        state = state.replace(extra={'masks': masks})
+        # set_extra keeps the TP sharding contract (raw replace desyncs
+        # _state_sharding.extra from the state fed into the eval jit)
+        state = self.set_extra(state, {'masks': masks})
         restored = self.restore_model(state, FLAGS.dcp_save_path)
         if restored is None:
             raise FileNotFoundError('no checkpoint found under ' + FLAGS.dcp_save_path)
