@@ -140,6 +140,7 @@ def test_ghost_bn_training_holds_accuracy(tmp_path):
         assert np.isfinite(metrics['loss'])  # evals without NaNs
 
 
+@pytest.mark.slow
 def test_remat_blocks_gradients_bit_identical():
     """--remat_blocks changes WHAT is stored for backward, never the math:
     gradients must be bit-identical across none/save_convs/full."""

@@ -1,6 +1,7 @@
 """MobileNet v1/v2 shape/compression-hook tests."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,6 +17,7 @@ def test_mobilenet_v1_forward_shapes():
     assert out.shape == (2, 10) and out.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_mobilenet_v2_forward_and_residuals():
     from pocketflow_tpu.nets.mobilenet import MobileNetV2
     model = MobileNetV2(nb_classes=10, dtype=jnp.float32)

@@ -42,6 +42,7 @@ def small_scope():
         yield
 
 
+@pytest.mark.slow
 def test_plain_artifact_serves_bn_model_exactly(tmp_path, small_scope):
     from pocketflow_tpu.tools.serving import load_serving_model
     learner, state, ckpt = _trained_resnet20(tmp_path)

@@ -44,6 +44,7 @@ def _build_resnet20():
     return model, variables, x
 
 
+@pytest.mark.slow
 def test_capture_graph_finds_residual_merges():
     from pocketflow_tpu.tools import shrink_graph as sg
     model, variables, x = _build_resnet20()
@@ -143,6 +144,7 @@ def test_resnet_shrink_is_exact_and_physical():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
 
+@pytest.mark.slow
 def test_mobilenet_shrink_follows_depthwise():
     from pocketflow_tpu.tools import shrink_graph as sg
     from pocketflow_tpu.nets.mobilenet import MobileNetV1

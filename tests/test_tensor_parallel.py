@@ -61,6 +61,7 @@ def test_tp_train_step_matches_dp_only(tmp_path):
     np.testing.assert_allclose(dp, tp, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_composes_with_quantization():
     """QAT under TP: fake-quant of sharded kernels must match the DP result
     (the per-tensor min/max over a sharded kernel becomes an all-reduce)."""
