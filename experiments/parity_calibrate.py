@@ -33,7 +33,15 @@ def run_one(snr, seed=0, epochs_rat=0.2, family='resnet20'):
             # 96x96 keeps the strip off the 13 MB/s host->device tunnel
             # bottleneck (224x224 runs at ~200 img/s, 96x96 at ~1000)
             ilsvrc_image_size=96,
-            nb_smpls_train=8192, nb_smpls_eval=2048,
+            # depth_mult 0.5 + 16k samples: the full 4.2M-param net memorizes
+            # an 8k-sample set instantly and never generalizes (measured eval
+            # 0.065-0.165 across snr 0.02-0.30 with train top-1 at 1.0);
+            # halving the width and doubling the data restores the
+            # params:samples regime the ResNet-20 harness calibrated at,
+            # while keeping the depthwise-separable compression behavior
+            # the family exists to cover
+            mobilenet_depth_mult=0.5,
+            nb_smpls_train=16384, nb_smpls_eval=2048,
             lrn_rate_init=0.1, summ_step=200, save_step=10**6,
             save_path=os.path.join(workdir, 'models/model.ckpt'),
             log_dir=os.path.join(workdir, 'logs'),

@@ -76,10 +76,20 @@ LOCKED_MAX_DELTA = {
 # BASELINE.md) — depthwise-separable nets compress differently from plain
 # residual stacks, so the parity harness must cover them.  96x96 inputs keep
 # the strip off the 13 MB/s host->device tunnel (224 runs at ~200 img/s) and
-# off the 224x224 host-memory cap; snr re-calibrated for the resolution.
-MOBILENET_SNR = 0.30          # calibrated on-chip (parity_calibrate
-                              # --family mobilenet_v1); see docs/performance.md
-BASELINE_BAND_MOBILENET = (0.70, 0.92)    # provisional until the chip run
+# off the 224x224 host-memory cap.  depth_mult 0.5 + 16k samples: the full
+# 4.2M-param net memorizes an 8k-sample set instantly and never generalizes
+# (measured eval 0.065-0.165 across snr 0.02-0.30 with train top-1 at 1.0);
+# the half-width net in the ResNet-20 harness's params:samples regime
+# generalizes, while keeping the depthwise-separable structure the strip
+# exists to cover.
+MOBILENET_SNR = 0.15          # calibrated on-chip 2026-08-18
+                              # (parity_calibrate --family mobilenet_v1
+                              # --snr 0.06,0.10,0.15 --epochs_rat 0.2:
+                              # eval 0.085 / 0.135 / 0.893 — the
+                              # memorize-vs-generalize race flips sharply
+                              # between 0.10 and 0.15); see
+                              # docs/performance.md
+BASELINE_BAND_MOBILENET = (0.78, 0.96)
 LOCKED_MAX_DELTA_MOBILENET = {
     'weight-sparse@50%': 0.06,
     'weight-sparse@90%': 0.20,
@@ -264,11 +274,12 @@ def run_sweep_mobilenet(workdir=None, quick=False):
         synthetic_snr=MOBILENET_SNR, nb_classes=64,
         compute_dtype='bfloat16', rand_seed=0,
         batch_size=128, batch_size_eval=128, ilsvrc_image_size=96,
-        nb_smpls_train=8192, nb_smpls_eval=2048,
+        mobilenet_depth_mult=0.5,
+        nb_smpls_train=16384, nb_smpls_eval=2048,
         lrn_rate_init=0.1, summ_step=400, save_step=10**6,
         save_path=os.path.join(workdir, 'models/model.ckpt'),
         log_dir=os.path.join(workdir, 'logs'),
-        mobilenet_version=1, nb_epochs_rat=0.1 if quick else 0.15)
+        mobilenet_version=1, nb_epochs_rat=0.05 if quick else 0.2)
 
     from pocketflow_tpu.nets.mobilenet_at_ilsvrc12 import ModelHelper
     from pocketflow_tpu.learners import create_learner
