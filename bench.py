@@ -30,6 +30,16 @@ BATCH_SIZE = int(os.environ.get('BENCH_BATCH_SIZE', '256'))
 N_WARMUP = 5
 N_TIMED = 20
 
+# Regression floor: locked 3% below the round-3 measured 2556.84 img/s/chip
+# (exact sync-BN).  The bench exits nonzero below this so a perf regression
+# fails the driver run instead of waiting for a human to read BENCH_r*.json.
+EXACT_BN_FLOOR_IMG_PER_SEC = 2480.0
+# Real HBM traffic per batch-256 step (measured via XLA cost_analysis + the
+# copy-add roofline probes, docs/performance.md "The roofline, corrected"):
+# ~35 GB against a practical 355-400 GB/s streaming ceiling on this chip.
+HBM_GB_PER_STEP = 35.0
+HBM_CEILING_GB_PER_SEC = (355.0, 400.0)
+
 
 def measure(bn_stats_subsample):
     """Measure steady-state train-step throughput at the given BN regime."""
@@ -102,6 +112,11 @@ def main():
     # docs/performance.md for the semantics discussion.
     ghost, _ = measure(bn_stats_subsample=8)
 
+    # achieved HBM bandwidth (keeps the "~90% of the practical ceiling"
+    # roofline claim auditable in every BENCH_r*.json)
+    step_time = BATCH_SIZE / exact if exact > 0 else float('inf')
+    achieved_gb_s = HBM_GB_PER_STEP / step_time
+
     print(json.dumps({
         'metric': 'images/sec/chip (%s ResNet-50 @ 224, bf16, bs=%d, exact sync-BN)'
                   % ('QAT' if qat else 'full-prec', BATCH_SIZE),
@@ -110,7 +125,17 @@ def main():
         'vs_baseline': round(exact / A100_TF_QAT_RESNET50_IMG_PER_SEC, 3),
         'value_ghost_bn_8': round(ghost, 2),
         'vs_baseline_ghost_bn_8': round(ghost / A100_TF_QAT_RESNET50_IMG_PER_SEC, 3),
+        'hbm_gb_per_s': round(achieved_gb_s, 1),
+        'hbm_ceiling_gb_per_s': list(HBM_CEILING_GB_PER_SEC),
+        'floor_img_per_s': EXACT_BN_FLOOR_IMG_PER_SEC,
     }))
+
+    if BATCH_SIZE == 256 and exact < EXACT_BN_FLOOR_IMG_PER_SEC:
+        print('BENCH REGRESSION: exact sync-BN %.2f img/s/chip is below the '
+              'locked floor %.1f (3%% under the round-3 measurement) — '
+              'investigate before merging' % (exact, EXACT_BN_FLOOR_IMG_PER_SEC),
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == '__main__':

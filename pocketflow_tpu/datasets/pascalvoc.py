@@ -84,7 +84,10 @@ class PascalVocDataset(AbstractDataset):
         spec = self.spec
         n = nb_smpls or (spec.nb_smpls_train if self.is_train else spec.nb_smpls_eval)
         h, w, c = spec.image_shape
-        n = max(64, min(n, 2048, (1 << 27) // (h * w * c)))
+        # bound host memory by total pixels (~128 MiB of uint8), not a fixed
+        # sample count: small-resolution parity strips legitimately ask for
+        # 8k+ images to put the task in a generalizing (non-memorizable) regime
+        n = max(64, min(n, (1 << 27) // (h * w * c)))
         nb_max = FLAGS.nb_bboxs_max
         rng = np.random.default_rng(777 + (0 if self.is_train else 1))
         images = rng.integers(100, 156, size=(n, h, w, c)).astype(np.uint8)
@@ -92,20 +95,34 @@ class PascalVocDataset(AbstractDataset):
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         for i in range(n):
             nb_boxes = rng.integers(1, 4)
+            placed = []
             for b in range(nb_boxes):
                 cls = int(rng.integers(1, spec.nb_classes))
-                bh = rng.integers(h // 4, h // 2)
-                bw = rng.integers(w // 4, w // 2)
-                y0 = rng.integers(0, h - bh)
-                x0 = rng.integers(0, w - bw)
+                # rejection-sample a box that doesn't intersect earlier ones:
+                # a later box would PAINT OVER an earlier box's texture,
+                # leaving a ground-truth label whose visual evidence is gone
+                # (irreducible label noise that caps achievable mAP)
+                for _ in range(8):
+                    bh = rng.integers(h // 4, h // 2)
+                    bw = rng.integers(w // 4, w // 2)
+                    y0 = rng.integers(0, h - bh)
+                    x0 = rng.integers(0, w - bw)
+                    if all(y0 >= py1 or y0 + bh <= py0 or
+                           x0 >= px1 or x0 + bw <= px0
+                           for py0, px0, py1, px1 in placed):
+                        break
+                else:
+                    continue  # image stays at nb_boxes-1 ground truths
+                placed.append((y0, x0, y0 + bh, x0 + bw))
                 fx, fy = (cls % 5) + 1, (cls // 5) + 1
                 patch = 127.5 + 120.0 * np.sin(
                     2 * np.pi * (fx * xx[y0:y0 + bh, x0:x0 + bw] / w
                                  + fy * yy[y0:y0 + bh, x0:x0 + bw] / h))
                 images[i, y0:y0 + bh, x0:x0 + bw] = np.clip(
                     patch[..., None], 0, 255).astype(np.uint8)
-                labels[i, b] = [cls, y0 / h, x0 / w, (y0 + bh) / h,
-                                (x0 + bw) / w, 1.0]
+                labels[i, len(placed) - 1] = [cls, y0 / h, x0 / w,
+                                              (y0 + bh) / h, (x0 + bw) / w,
+                                              1.0]
         return images, labels
 
     def augment(self, images, rng, is_train):

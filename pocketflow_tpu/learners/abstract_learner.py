@@ -93,6 +93,20 @@ class AbstractLearner(ABC):
                         and self.mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1)
         self._state_sharding = None  # set by init_state under TP
 
+    def require_dp_only(self, phase: str):
+        """Fail LOUDLY if a host-surgery search phase runs under tensor
+        parallelism.  These phases mix host-side kernel/mask surgery,
+        replicated device_puts, and mid-search set_extra mutations that do
+        not honor a TP sharding tree — the silent failure mode is a hang or
+        wrong numerics, so every such learner must call this up front and
+        tell the user the supported recipe (search data-parallel, then
+        fine-tune the resulting checkpoint under TP)."""
+        if self.enbl_tp:
+            raise NotImplementedError(
+                '%s does not support tensor parallelism during %s; run with '
+                '--mesh_model_parallel=1 and fine-tune the resulting '
+                'checkpoint under TP' % (type(self).__name__, phase))
+
     # ------------------------------------------------------------------
     # lifecycle
     # ------------------------------------------------------------------
@@ -165,6 +179,11 @@ class AbstractLearner(ABC):
         helper = self.model_helper
         model = self.model
         augment_xy = self.dataset_train.augment_xy
+        # helpers may take an optional `step` (e.g. the SSD helper's cls-loss
+        # warm-up, reference vgg_at_pascalvoc.py:406-410); detect it once so
+        # the traced step stays branch-free
+        import inspect
+        loss_takes_step = 'step' in inspect.signature(helper.calc_loss).parameters
 
         def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
             images, labels = augment_xy(batch, rng, True)
@@ -175,7 +194,11 @@ class AbstractLearner(ABC):
                 outputs, new_mstate = helper.forward_train(
                     model, variables, images, policy=policy,
                     labels=labels if self.forward_w_labels else None)
-                loss, metrics = helper.calc_loss(labels, outputs, params)
+                if loss_takes_step:
+                    loss, metrics = helper.calc_loss(labels, outputs, params,
+                                                     step=state.step)
+                else:
+                    loss, metrics = helper.calc_loss(labels, outputs, params)
                 if loss_extra_fn is not None:
                     extra_loss, extra_metrics = loss_extra_fn(state, outputs, images, labels)
                     loss = loss + extra_loss

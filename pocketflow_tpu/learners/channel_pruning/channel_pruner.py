@@ -46,6 +46,10 @@ FLAGS.DEFINE_boolean('cp_quadruple', False,
 FLAGS.DEFINE_integer('cp_lasso_nb_iters', 300,
                      'CP: ISTA iterations per LASSO solve (tests/smoke runs '
                      'can lower this)')
+FLAGS.DEFINE_boolean('cp_lasso', True,
+                     'CP: use LASSO selection + reconstruction; if False, '
+                     'prune by kernel weight magnitude (reference '
+                     'channel_pruner.py:33-36,619-630)')
 
 
 class InputCapturePolicy(CapturePolicy):
@@ -313,21 +317,27 @@ class ChannelPruner:
         if c_new >= c_in:
             return kernel, np.ones(c_in, bool)
 
-        # subsample for the lasso like the reference (:467-470)
-        nb = X.shape[0]
-        rng = np.random.default_rng(FLAGS.rand_seed)
-        picks = rng.integers(0, nb, min(400, max(1, nb // 20)))
-        Xs, Ys = X[picks], Y[picks]
-        # per-channel contribution: P[:, c] = vec(X_c * W2_c) over (pts, c_out)
         W2 = np.asarray(kernel, np.float32)               # [h, w, c_in, c_out]
-        # Xs: [p, c_in, h, w]; W2 -> [c_in, h*w, c_out]
-        W2c = np.transpose(W2, (2, 0, 1, 3)).reshape(c_in, h * w, c_out)
-        Xc = Xs.reshape(Xs.shape[0], c_in, h * w)
-        contrib = np.einsum('pck,cko->pco', Xc, W2c)      # [p, c_in, c_out]
-        P = contrib.transpose(0, 2, 1).reshape(-1, c_in)  # [p*c_out, c_in]
-        yv = Ys.reshape(-1)
-
-        idxs = select_channels(P, yv, c_new, self.solver)
+        if FLAGS.cp_lasso:
+            # subsample for the lasso like the reference (:467-470)
+            nb = X.shape[0]
+            rng = np.random.default_rng(FLAGS.rand_seed)
+            picks = rng.integers(0, nb, min(400, max(1, nb // 20)))
+            Xs, Ys = X[picks], Y[picks]
+            # per-channel contribution: P[:, c] = vec(X_c * W2_c) over (pts, c_out)
+            # Xs: [p, c_in, h, w]; W2 -> [c_in, h*w, c_out]
+            W2c = np.transpose(W2, (2, 0, 1, 3)).reshape(c_in, h * w, c_out)
+            Xc = Xs.reshape(Xs.shape[0], c_in, h * w)
+            contrib = np.einsum('pck,cko->pco', Xc, W2c)  # [p, c_in, c_out]
+            P = contrib.transpose(0, 2, 1).reshape(-1, c_in)  # [p*c_out, c_in]
+            yv = Ys.reshape(-1)
+            idxs = select_channels(P, yv, c_new, self.solver)
+        else:
+            # magnitude mode (reference :619-630): keep the c_new input
+            # channels with the largest total |W2| mass, then reconstruct
+            order = np.argsort(-np.abs(W2).sum((0, 1, 3)))
+            idxs = np.zeros(c_in, bool)
+            idxs[order[:c_new]] = True
 
         # least-squares reconstruction on surviving channels (:442-454)
         Xsel = X[:, idxs].reshape(X.shape[0], -1)         # [n, c_sel*h*w]

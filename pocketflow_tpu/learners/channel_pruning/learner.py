@@ -49,6 +49,11 @@ FLAGS.DEFINE_float('cp_uniform_preserve_ratio', 0.6,
 FLAGS.DEFINE_float('cp_noise_tolerance', 0.15,
                    'CP: noise tolerance bounding the FLOPs-policy reward')
 FLAGS.DEFINE_float('cp_lrn_rate_ft', 1e-4, 'CP: learning rate for global fine-tuning')
+FLAGS.DEFINE_boolean('cp_finetune_schedule', False,
+                     'CP: fine-tune on the model\'s full piecewise LR profile '
+                     '(compressed to the fine-tune length, as CPR does) '
+                     'instead of the reference\'s constant cp_lrn_rate_ft — '
+                     'closes most of the reference\'s CP-vs-CPR accuracy gap')
 FLAGS.DEFINE_float('cp_nb_iters_ft_ratio', 0.2,
                    'CP: ratio of total iterations for global fine-tuning')
 FLAGS.DEFINE_boolean('cp_finetune', False, 'CP: finetune between list groups')
@@ -419,17 +424,11 @@ class ChannelPrunedLearner(AbstractLearner):
     # ------------------------------------------------------------------
 
     def train(self) -> TrainState:
-        if self.enbl_tp:
-            # the LASSO prune/search path mixes host-side kernel surgery,
-            # replicated device_puts, and mid-search set_extra mutations —
-            # none of which honor a TP sharding tree (the jitted programs'
-            # in/out_shardings would mismatch mid-search).  Fail loudly:
-            # run the search/prune data-parallel, then fine-tune the
-            # resulting checkpoint under TP.
-            raise NotImplementedError(
-                'ChannelPrunedLearner does not support tensor parallelism '
-                'during prune/search; run with --mesh_model_parallel=1 and '
-                'fine-tune the pruned checkpoint under TP')
+        # the LASSO prune/search path mixes host-side kernel surgery,
+        # replicated device_puts, and mid-search set_extra mutations — none
+        # of which honor a TP sharding tree (the jitted programs'
+        # in/out_shardings would mismatch mid-search)
+        self.require_dp_only('the LASSO prune/search phase')
         state, tx, _ = self.init_state()
         state, _ = self.restore_baseline(state)
         self._setup_pruner(state)
@@ -440,12 +439,22 @@ class ChannelPrunedLearner(AbstractLearner):
             ratios = self._ratio_list()
         state, masks = self.prune_with_ratios(state, ratios)
 
-        # global fine-tune with masked grads (reference __finetune_pruned_model)
+        # global fine-tune with masked grads (reference __finetune_pruned_model,
+        # learner.py:313-379: constant cp_lrn_rate_ft).  With
+        # --cp_finetune_schedule the full piecewise profile is replayed
+        # compressed into the fine-tune window (what CPR does; measurably
+        # better than the reference's constant LR).
         import optax
         schedule, nb_iters = self.setup_lrn_rate(self.global_batch_size)
         nb_iters_ft = max(1, int(nb_iters * FLAGS.cp_nb_iters_ft_ratio))
-        tx_ft = optax.sgd(learning_rate=FLAGS.cp_lrn_rate_ft,
-                          momentum=FLAGS.momentum)
+        if FLAGS.cp_finetune_schedule:
+            rate = float(nb_iters) / float(nb_iters_ft)
+            lr_ft = lambda step: schedule(step * rate)
+            state = state.replace(step=jnp.zeros_like(state.step))
+            tx_ft = optax.sgd(learning_rate=lr_ft, momentum=FLAGS.momentum)
+        else:
+            tx_ft = optax.sgd(learning_rate=FLAGS.cp_lrn_rate_ft,
+                              momentum=FLAGS.momentum)
         state = state.replace(opt_state=self.init_opt_state(tx_ft, state.params))
 
         def grad_transform(grads, state):

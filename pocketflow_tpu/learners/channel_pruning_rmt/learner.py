@@ -226,6 +226,9 @@ class ChannelPrunedRmtLearner(AbstractLearner):
     # ------------------------------------------------------------------
 
     def train(self) -> TrainState:
+        # meta-LASSO surgery rewrites kernels layer-by-layer on the host —
+        # DP-only during the prune phase (see require_dp_only)
+        self.require_dp_only('the meta-LASSO prune phase')
         state, tx, _ = self.init_state()
         if FLAGS.cpr_warm_start:
             state, _ = self.restore_baseline(state, FLAGS.cpr_save_path_ws)

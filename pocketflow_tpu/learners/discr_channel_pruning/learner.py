@@ -376,6 +376,9 @@ class DisChnPrunedLearner(AbstractLearner):
     # ------------------------------------------------------------------
 
     def train(self) -> TrainState:
+        # greedy per-layer channel selection runs one-hot-traced layer
+        # programs with host-side mask surgery — DP-only (see require_dp_only)
+        self.require_dp_only('the greedy channel-selection phase')
         state, tx, _ = self.init_state()
         state, _ = self.restore_baseline(state)
         state = self.choose_discr_chns(state)

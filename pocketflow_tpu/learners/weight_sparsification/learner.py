@@ -41,6 +41,10 @@ class WeightSparseLearner(AbstractLearner):
     # ------------------------------------------------------------------
 
     def train(self) -> TrainState:
+        if (FLAGS.ws_prune_ratio_prtl == 'optimal'
+                and self.var_names_n_prune_ratios is None):
+            # fail before any restore/work: the RL ratio search is DP-only
+            self.require_dp_only('the optimal-protocol RL search')
         state, tx, _ = self.init_state()
         state, _ = self.restore_baseline(state)  # pretrained full-prec baseline
 

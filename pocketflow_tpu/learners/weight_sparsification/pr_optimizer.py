@@ -79,6 +79,9 @@ class PROptimizer:
         elif prtl == 'heurist':
             pairs = self._heurist(paths, shapes)
         elif prtl == 'optimal':
+            # RL roll-outs re-mask and re-evaluate with replicated
+            # device_puts — a TP sharding tree would silently mis-shard
+            self.learner.require_dp_only('the optimal-protocol RL search')
             if batch_stats is None:
                 batch_stats = self._init_params()[1]
             pairs = self._optimal(params, batch_stats, paths, shapes)

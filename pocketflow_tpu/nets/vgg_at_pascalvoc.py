@@ -36,6 +36,13 @@ FLAGS.DEFINE_float('ssd_negative_ratio', 3.0, 'SSD: hard-negative ratio')
 FLAGS.DEFINE_float('ssd_match_threshold', 0.5, 'SSD: anchor-match IoU threshold')
 FLAGS.DEFINE_float('ssd_nms_threshold', 0.45, 'SSD: NMS IoU threshold')
 FLAGS.DEFINE_float('ssd_score_threshold', 0.05, 'SSD: detection score threshold')
+# reference vgg_at_pascalvoc.py:53,59-60,406-410: the classification loss is
+# ramped 0->1 over the first nb_iters_cls_wmup steps (localization trains
+# first) — without it a from-scratch VGG-SSD (no BN anywhere) collapses to
+# predicting background at every anchor and never recovers
+FLAGS.DEFINE_integer('nb_iters_cls_wmup', 10000,
+                     'SSD: iterations to warm up the classification loss')
+FLAGS.DEFINE_float('lrn_rate_min', 1e-6, 'SSD: minimal learning rate floor')
 
 # anchor scales/aspect-ratios per feature map (SSD-300 defaults)
 SSD_SCALES = [0.1, 0.2, 0.375, 0.55, 0.725, 0.9, 1.0]
@@ -76,13 +83,21 @@ class ModelHelper(AbstractModelHelper):
                       nb_anchors_per_cell=2 + len(SSD_ASPECTS[0]),
                       dtype=dtype)
 
-    def calc_loss(self, labels, outputs, trainable_vars):
+    def calc_loss(self, labels, outputs, trainable_vars, step=None):
         cls_logits, box_deltas = outputs
         anchors = jnp.asarray(self.anchors_np)
         loss, metrics = loss_lib.ssd_loss(
             cls_logits, box_deltas, labels.astype(jnp.float32), anchors,
             negative_ratio=FLAGS.ssd_negative_ratio,
             pos_threshold=FLAGS.ssd_match_threshold)
+        if step is not None:
+            # cls-loss warm-up (reference :406-410): loss = w*cls + loc with
+            # w = min(step / nb_iters_cls_wmup, 1).  Only the fused TRAIN
+            # step passes `step`; eval and compression finetunes (which start
+            # from a trained baseline) use the full loss.
+            w_cls = jnp.minimum(
+                step.astype(jnp.float32) / float(FLAGS.nb_iters_cls_wmup), 1.0)
+            loss = w_cls * metrics['cls_loss'] + metrics['loc_loss']
         loss = loss + self.weight_decay_loss(trainable_vars, exclude_bn=True)
         # proxy accuracy: fraction of images whose best-scoring anchor class
         # appears in the ground truth (cheap, jittable)
@@ -99,8 +114,11 @@ class ModelHelper(AbstractModelHelper):
     def setup_lrn_rate(self, global_batch_size: int):
         nb_epochs = 120  # SSD-VOC recipe
         nb_smpls = self.dataset_train.spec.nb_smpls_train
-        schedule = schedules.piecewise_constant(
+        base = schedules.piecewise_constant(
             global_batch_size, [80, 100], [1.0, 0.1, 0.01], nb_smpls)
+        # reference :474: lrn_rate = max(lrn_rate, lrn_rate_min)
+        floor = float(FLAGS.lrn_rate_min)
+        schedule = lambda step: jnp.maximum(base(step), floor)
         nb_iters = int(nb_smpls * nb_epochs * FLAGS.nb_epochs_rat / global_batch_size)
         return schedule, nb_iters
 

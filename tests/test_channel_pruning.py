@@ -185,3 +185,31 @@ def test_patch_sampler_aligns_with_valid_padding_convs():
         np.testing.assert_allclose(np.asarray(Y2), Yn, rtol=1e-5, atol=1e-5)
         assert not np.allclose(np.asarray(X2), Xn, atol=1e-5)
         assert not np.allclose(pred2, np.asarray(Y2), atol=2e-2)
+
+
+def test_cp_lasso_false_magnitude_mode():
+    """--cp_lasso=False (reference channel_pruner.py:619-630): channels are
+    picked by kernel magnitude and the kernel is still lstsq-reconstructed
+    on the survivors."""
+    from pocketflow_tpu.learners.channel_pruning.channel_pruner import ChannelPruner
+    h, w, c_in, c_out = 3, 3, 8, 4
+    rng = np.random.default_rng(3)
+    kernel = rng.normal(size=(h, w, c_in, c_out)).astype(np.float32) * 0.05
+    strong = [1, 4, 6, 7]
+    kernel[:, :, strong, :] *= 50.0
+    X = rng.normal(size=(64, c_in, h, w)).astype(np.float32)
+    Y = np.einsum('pchw,hwco->po', X, kernel)
+    pruner = ChannelPruner.__new__(ChannelPruner)
+    pruner.solver = None  # magnitude mode must not touch the LASSO solver
+    import logging
+    pruner.log = logging.getLogger('test')
+    spec = {'kernel_shape': (h, w, c_in, c_out)}
+    with FLAGS.scope(cp_lasso=False):
+        new_kernel, idxs = ChannelPruner.prune_layer(
+            pruner, spec, jnp.asarray(kernel), X, Y, preserve_ratio=0.5)
+    assert int(idxs.sum()) == 4
+    assert sorted(np.nonzero(idxs)[0].tolist()) == strong
+    # reconstruction keeps the layer output close on the sampled data
+    Yp = np.einsum('pchw,hwco->po', X, np.asarray(new_kernel))
+    rel = np.linalg.norm(Yp - Y) / np.linalg.norm(Y)
+    assert rel < 0.35

@@ -149,3 +149,84 @@ def test_shard_batch_places_leading_axis_on_data():
     out = mesh_lib.shard_batch(batch, mesh)
     assert out['image'].sharding.spec[0] == mesh_lib.DATA_AXIS
     assert out['label'].shape == (16,)
+
+
+# ---------------------------------------------------------------------------
+# TP guard matrix: every learner either trains under data:4,model:2 or raises
+# the explicit DP-only error — no learner may silently mis-shard (the failure
+# mode of host-surgery search phases under a TP sharding tree is a hang or
+# wrong numerics, not an error message).
+# ---------------------------------------------------------------------------
+
+_TP_GUARDED = [
+    # (learner_name, extra flags) — search phases built on host-side surgery
+    ('channel', {}),
+    ('chn-pruned-rmt', {}),
+    ('dis-chn-pruned', {}),
+    ('weight-sparse', {'ws_prune_ratio_prtl': 'optimal'}),
+]
+
+
+@pytest.mark.parametrize('name,extra', _TP_GUARDED,
+                         ids=[n + ('@' + e.get('ws_prune_ratio_prtl', ''))
+                              if e else n for n, e in _TP_GUARDED])
+def test_tp_guarded_learners_fail_loudly(name, extra, tmp_path):
+    from pocketflow_tpu.learners import create_learner
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+    mesh_lib.reset_global_mesh()
+    mesh_lib.set_global_mesh(mesh_lib.build_mesh(
+        jax.devices()[:8], (mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS), (4, 2)))
+    try:
+        with FLAGS.scope(batch_size=8, batch_size_eval=8, nb_smpls_train=64,
+                         nb_smpls_eval=32, nb_epochs_rat=0.01,
+                         enbl_tensor_parallel=True, enbl_native_loader=False,
+                         save_path=str(tmp_path / 'models/model.ckpt'),
+                         log_dir=str(tmp_path / 'logs'), **extra):
+            learner = create_learner(None, ModelHelper(), learner_name=name)
+            with pytest.raises(NotImplementedError, match='tensor parallelism'):
+                learner.train()
+    finally:
+        mesh_lib.reset_global_mesh()
+
+
+_TP_TRAINING = [
+    ('full-prec', {}),
+    ('weight-sparse', {'ws_prune_ratio_prtl': 'uniform', 'ws_prune_ratio': 0.5,
+                       'ws_mask_update_step': 3}),
+    ('uniform', {'uql_weight_bits': 8}),
+    ('uniform-tf', {}),
+    ('non-uniform', {'nuql_weight_bits': 8}),
+    ('chn-pruned-gpu', {'cpg_prune_ratio': 0.25, 'cpg_nb_iters_layer': 4}),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('name,extra', _TP_TRAINING,
+                         ids=[n for n, _ in _TP_TRAINING])
+def test_tp_training_learners_train(name, extra, tmp_path):
+    """The non-guarded learners must actually train under data:4,model:2:
+    finite eval loss and a params tree whose large kernels stay TP-sharded."""
+    from pocketflow_tpu.learners import create_learner
+    from pocketflow_tpu.nets.convnet_at_fmnist import ModelHelper
+    mesh_lib.reset_global_mesh()
+    mesh_lib.set_global_mesh(mesh_lib.build_mesh(
+        jax.devices()[:8], (mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS), (4, 2)))
+    try:
+        with FLAGS.scope(batch_size=8, batch_size_eval=8, nb_smpls_train=128,
+                         nb_smpls_eval=32, nb_epochs_rat=0.02,
+                         lrn_rate_init=0.05,
+                         enbl_tensor_parallel=True, enbl_native_loader=False,
+                         save_path=str(tmp_path / 'models/model.ckpt'),
+                         log_dir=str(tmp_path / 'logs'), **extra):
+            # compression learners restore the full-prec baseline first
+            if name != 'full-prec':
+                base = create_learner(None, ModelHelper(),
+                                      learner_name='full-prec')
+                base.train()
+            learner = create_learner(None, ModelHelper(), learner_name=name)
+            state = learner.train()
+            leaves = jax.tree_util.tree_leaves(state.params)
+            assert all(bool(jnp.all(jnp.isfinite(
+                leaf.astype(jnp.float32)))) for leaf in leaves)
+    finally:
+        mesh_lib.reset_global_mesh()
