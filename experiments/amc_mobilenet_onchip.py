@@ -1,15 +1,16 @@
-"""Fresh on-chip AMC search drill: MobileNet-v1, DDPG channel-ratio search.
+"""On-chip AMC PLUMBING drill: MobileNet-v1, DDPG channel-ratio search.
 
-Keeps the BASELINE config-#4 evidence live (reference
-nets/mobilenet_at_ilsvrc12.py + learners/channel_pruning auto mode): a short
-but REAL DDPG search on the real chip — actor/critic updates, per-layer LASSO
-selection + reconstruction inside every roll-out, rewards from the train/val
-split, FLOPs budget constraint, search checkpoint written each roll-out.
-
-The baseline is warm-trained first (16-class synthetic override, a few
-hundred steps to ~0.9+ accuracy) so the reward signal is INFORMATIVE: pruned
-accuracy actually varies with the chosen ratios, unlike a chance-level
-untrained net where every roll-out scores ~0.
+This drill proves the search MACHINERY end-to-end on the real chip — DDPG
+actor/critic updates, per-layer LASSO selection + reconstruction inside
+every roll-out, rewards from the train/val split, FLOPs budget constraint,
+atomic search checkpoint written each roll-out (kill-mid-search resume is
+exercised by tests/test_search_hygiene.py).  It is NOT the search-QUALITY
+evidence: at 224x224 the warm-train budget that fits a drill leaves the
+baseline at ~0.35 accuracy, so rewards barely vary.  Search quality (RL
+beating uniform at equal preserved FLOPs, the reference's
+docs/performance.md:9-14 claim) is measured by
+``experiments/amc_vs_uniform.py`` in the calibrated 96x96 regime and locked
+by tests/test_amc_band.py.
 
 Writes the roll-out reward trace + best ratios to
 ``experiments/results/amc_mobilenet_r3.json``.
