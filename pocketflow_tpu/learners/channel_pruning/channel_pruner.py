@@ -339,10 +339,28 @@ class ChannelPruner:
             idxs = np.zeros(c_in, bool)
             idxs[order[:c_new]] = True
 
-        # least-squares reconstruction on surviving channels (:442-454)
-        Xsel = X[:, idxs].reshape(X.shape[0], -1)         # [n, c_sel*h*w]
-        W2new, *_ = np.linalg.lstsq(Xsel.astype(np.float64),
-                                    Y.astype(np.float64), rcond=None)
+        # least-squares reconstruction on surviving channels (:442-454).
+        # Ridge-regularized normal equations instead of raw lstsq: with few
+        # sampled rows the system is underdetermined (rows < c_sel*h*w) and
+        # the min-norm interpolant generalizes arbitrarily badly — on the SSD
+        # strip it reconstructed head kernels whose logits overflowed bf16.
+        # lam scales with the data Gram's mean diagonal, so well-conditioned
+        # solves are perturbed ~1e-4 relative.
+        Xsel = X[:, idxs].reshape(X.shape[0], -1).astype(np.float64)
+        Y64 = Y.astype(np.float64)
+        gram = Xsel.T @ Xsel
+        lam = 1e-4 * max(np.trace(gram) / max(gram.shape[0], 1), 1e-12)
+        W2new = np.linalg.solve(gram + lam * np.eye(gram.shape[0]),
+                                Xsel.T @ Y64)
+        if not np.isfinite(W2new).all():
+            # last-resort fallback: keep the original weights on the
+            # surviving channels (pure selection, no reconstruction)
+            get_logger().warning(
+                'layer %s: reconstruction produced non-finite weights; '
+                'keeping original kernel values on surviving channels',
+                spec['path'])
+            new_kernel = np.where(idxs[None, None, :, None], W2, 0.0)
+            return jnp.asarray(new_kernel, dtype=kernel.dtype), idxs
         W2new = W2new.reshape(int(idxs.sum()), h, w, c_out)
         new_kernel = np.zeros_like(np.asarray(kernel, np.float32))
         new_kernel[:, :, idxs, :] = np.transpose(W2new, (1, 2, 0, 3))

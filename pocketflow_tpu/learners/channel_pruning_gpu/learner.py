@@ -180,7 +180,23 @@ class ChannelPrunedGpuLearner(AbstractLearner):
                 idx = path_index.get(pstr)
                 if idx is None:
                     return p
-                w_new = p.astype(jnp.float32) - lrn_rates[idx] * g.astype(jnp.float32)
+                # RELATIVE normalized step (like the reconstruction's
+                # relative_adam): the reg loss is a SUM of squared feature
+                # errors, so raw gradient magnitude scales with feature-map
+                # size and activation scale — an absolute `p - lr*g` step
+                # that converges on ResNet-20@32x32 NaNs a trained
+                # VGG-SSD@64x64 in a few adaptive-lr increases.  lrn_rates
+                # become dimensionless fractions of the weight RMS.
+                p32 = p.astype(jnp.float32)
+                g32 = g.astype(jnp.float32)
+                g_rms = jnp.sqrt(jnp.mean(jnp.square(g32))) + 1e-20
+                p_rms = jnp.maximum(
+                    jnp.sqrt(jnp.mean(jnp.square(p32))), 1e-8)
+                w_new = p32 - lrn_rates[idx] * p_rms * (g32 / g_rms)
+                # overshoot guard: a non-finite update keeps the old weights
+                # (the adaptive rule then decays this layer's lr; without
+                # the guard NaN params are unrecoverable)
+                w_new = jnp.where(jnp.isfinite(w_new), w_new, p32)
                 return group_lasso_shrink(w_new, percentiles[idx]).astype(p.dtype)
 
             pruned = jax.tree_util.tree_map_with_path(upd, pruned, grads)
@@ -248,10 +264,22 @@ class ChannelPrunedGpuLearner(AbstractLearner):
                               idx_iter + 1, nb_iters, np.round(losses, 3).tolist())
 
         masks = masks_of(pruned)
+        # reset survivors to the ORIGINAL weights before reconstruction: the
+        # group-LASSO shrinkage is a selection device (it scaled every
+        # surviving channel toward zero while annealing the threshold), not a
+        # reconstruction start — on a BN-free net the shrunk weights leave
+        # per-layer outputs orders of magnitude off and the bounded
+        # relative-Adam reconstruction cannot climb back.  The reference's
+        # fake-pruning does the same: pruned channels zeroed, survivors
+        # untouched (channel_pruner.py:665-725).
+        pruned = jax.jit(masking.apply_masks)(
+            self.copy_state(state).params, masks)
         opt_state = recon_init(pruned)
         for _ in range(nb_iters):
             pruned, opt_state, losses = recon_step(
                 fparams, fbstats, pruned, masks, opt_state, next(train_iter))
+        self.log.info('reconstruction done: reg losses %s',
+                      np.round(np.asarray(jax.device_get(losses)), 3).tolist())
         # freeze pruned channels exactly at zero after reconstruction
         pruned = jax.jit(masking.apply_masks)(pruned, masks)
         if jax.process_count() > 1:

@@ -85,16 +85,29 @@ class Int8ServingPolicy(CompressionPolicy):
 
     `weight_q[path] = (codes, w_scale)`; `act_scales[path]` from calibrate().
     Layers without entries fall through to the normal bf16/fp32 path.
+
+    `skip_depthwise` (default True): depthwise convs never touch the MXU —
+    they run on the VPU where int8 buys nothing, so the quantize/dequantize
+    chain around them is pure overhead (this is what capped MobileNet int8
+    serving at 0.98x of bf16).  A depthwise site is recognized at trace time
+    by its grouped-kernel signature: HWIO weights with I == 1 whose output
+    channel count equals the input's channel count.
     """
 
-    def __init__(self, weight_q, act_scales: Dict[str, float]):
+    def __init__(self, weight_q, act_scales: Dict[str, float],
+                 skip_depthwise: bool = True):
         self.weight_q = weight_q
         self.act_scales = act_scales
+        self.skip_depthwise = skip_depthwise
 
     def run_contraction(self, path, x, kernel, contract_fn):
         entry = self.weight_q.get(path)
         if entry is None or path not in self.act_scales:
             return None
+        if (self.skip_depthwise and kernel.ndim == 4
+                and kernel.shape[-2] == 1 and kernel.shape[-1] > 1
+                and x.shape[-1] == kernel.shape[-1]):
+            return None  # depthwise: stay on the bf16 VPU path
         codes, w_scale = entry
         return int8_contract(x, codes, w_scale,
                              jnp.float32(self.act_scales[path]), contract_fn)

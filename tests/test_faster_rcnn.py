@@ -153,6 +153,51 @@ def test_frcnn_resnet_backbone_policies_reach_convs():
 
 
 @pytest.mark.slow
+def test_channel_pruned_frcnn_trains_data_parallel(tmp_path):
+    """BASELINE.json config #5: channel-pruned Faster-RCNN detection,
+    multi-chip data-parallel.  The conftest mesh spans 8 virtual devices on
+    the 'data' axis; the channel learner's full pipeline (baseline restore ->
+    LASSO selection -> reconstruction -> global finetune) must run sharded
+    over it and land pruned kernels with finite losses.  The mAP evidence for
+    this config lives in experiments/frcnn_compression_parity.py."""
+    from pocketflow_tpu.core import mesh as mesh_lib
+    from pocketflow_tpu.learners.full_precision import FullPrecLearner
+    from pocketflow_tpu.learners.channel_pruning import ChannelPrunedLearner
+    from pocketflow_tpu.nets.faster_rcnn_at_pascalvoc import ModelHelper
+
+    assert mesh_lib.global_mesh().shape['data'] == 8
+    with FLAGS.scope(batch_size=16, batch_size_eval=16, nb_smpls_train=64,
+                     nb_smpls_eval=16, nb_epochs_rat=0.02, lrn_rate_init=0.01,
+                     voc_image_size=64, nb_bboxs_max=4, loss_w_dcy=0.0,
+                     frcnn_nb_proposals=8, frcnn_nb_pre_nms=32,
+                     frcnn_roi_batch=8, frcnn_backbone='small'):
+        FullPrecLearner(None, ModelHelper()).train()
+        with FLAGS.scope(cp_prune_option='uniform',
+                         cp_uniform_preserve_ratio=0.5,
+                         cp_nb_batches=1, cp_nb_points_per_layer=2,
+                         cp_lasso_nb_iters=8, cp_nb_iters_ft_ratio=0.2,
+                         cp_channel_pruned_path=str(
+                             tmp_path / 'cp' / 'model.ckpt')):
+            learner = ChannelPrunedLearner(None, ModelHelper())
+            state = learner.train()
+            # pruned input channels actually landed in a mid-trunk kernel
+            zeroed = 0
+            for spec in learner.specs:
+                node = state.params
+                for part in spec['path'].split('/'):
+                    node = node[part]
+                k = np.asarray(jax.device_get(node['kernel']))
+                if k.ndim == 4 and k.shape[2] >= 8:
+                    norms = np.linalg.norm(
+                        k.transpose(2, 0, 1, 3).reshape(k.shape[2], -1),
+                        axis=1)
+                    zeroed += int(np.sum(norms == 0.0))
+            assert zeroed > 0, 'no channel was pruned anywhere'
+            metrics = learner.run_eval_loop(state, learner.build_eval_step())
+            assert np.isfinite(float(metrics['loss']))
+
+
+@pytest.mark.slow
 def test_frcnn_warm_start_grafts_classifier_trunk(tmp_path):
     """The reference's FRCNN recipe: graft a classification checkpoint into
     the detection backbone (faster_rcnn_at_pascalvoc.py backbone restore).

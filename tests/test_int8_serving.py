@@ -88,17 +88,89 @@ def test_quant_coverage_verification():
 
 @pytest.mark.slow
 def test_int8_depthwise_serving():
-    """Depthwise convs also run int8 (MobileNet serving path)."""
+    """MobileNet int8 serving: by default depthwise convs stay on the
+    float path (they are VPU-bound — int8 around them is pure overhead,
+    docs/performance.md int8 table), while skip_depthwise=False still
+    runs them int8 end-to-end."""
     from pocketflow_tpu.nets.mobilenet import MobileNetV1
     model = MobileNetV1(nb_classes=10, dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3)) * 0.3
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+    # at init the running BN stats are (0, 1) and the eval forward decays to
+    # ~1e-20 after 13 blocks, which makes any closeness assertion vacuous;
+    # substitute the EXACT batch statistics of one train pass:
+    # new = m*old + (1-m)*batch  =>  batch = (new - m*old) / (1-m)
+    m = 0.997
+    _, upd = model.apply(variables, x, train=True, mutable=['batch_stats'])
+    batch_stats = jax.tree_util.tree_map(
+        lambda o, n: (n - m * o) / (1.0 - m),
+        dict(variables['batch_stats']), dict(upd['batch_stats']))
+    variables = {'params': variables['params'], 'batch_stats': batch_stats}
     ref = np.asarray(model.apply(variables, x, train=False))
+    assert np.abs(ref).max() > 1e-3  # non-degenerate forward
     act_scales = int8_ops.calibrate(model, dict(variables), [x])
     weight_q = int8_ops.quantize_model_weights(variables['params'])
     assert any('/dw' in p or p.endswith('dw') for p in weight_q)
-    policy = int8_ops.Int8ServingPolicy(weight_q, act_scales)
-    with compression(policy):
-        out = np.asarray(model.apply(variables, x, train=False))
-    rel = np.abs(out - ref) / (np.abs(ref).max() + 1e-6)
-    assert rel.max() < 0.35, rel.max()  # bf16-free int8 path stays close
+    outs = {}
+    for skip in (True, False):
+        policy = int8_ops.Int8ServingPolicy(weight_q, act_scales,
+                                            skip_depthwise=skip)
+        with compression(policy):
+            outs[skip] = np.asarray(model.apply(variables, x, train=False))
+    # an untrained random net amplifies PTQ noise into the logits, so no
+    # tight end-to-end band here (accuracy-level evidence lives in
+    # docs/performance.md's serving table); assert structure instead:
+    for skip, out in outs.items():
+        assert np.isfinite(out).all(), skip
+    # the two modes genuinely take different paths
+    assert not np.allclose(outs[True], outs[False])
+    # skipping the depthwise quantize/dequantize chains loses less precision
+    err = {skip: float(np.abs(out - ref).max()) for skip, out in outs.items()}
+    assert err[True] <= err[False], err
+
+
+def test_depthwise_skip_is_bit_exact_float_path():
+    """With skip_depthwise=True a lone depthwise conv under the int8 policy
+    is BIT-IDENTICAL to the no-policy float path; with skip_depthwise=False
+    it quantizes (differs)."""
+    from pocketflow_tpu.nn.layers import PFDepthwiseConv
+    model = PFDepthwiseConv(dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(model.apply(variables, x))
+    weight_q = {'': int8_ops.quantize_weights_symmetric(
+        variables['params']['kernel'])}
+    act_scales = {'': float(np.abs(np.asarray(x)).max() / 127.0)}
+    with compression(int8_ops.Int8ServingPolicy(weight_q, act_scales,
+                                                skip_depthwise=True)):
+        skipped = np.asarray(model.apply(variables, x))
+    np.testing.assert_array_equal(skipped, ref)
+    with compression(int8_ops.Int8ServingPolicy(weight_q, act_scales,
+                                                skip_depthwise=False)):
+        quantized = np.asarray(model.apply(variables, x))
+    assert not np.array_equal(quantized, ref)
+    np.testing.assert_allclose(quantized, ref,
+                               atol=0.05 * float(np.abs(ref).max()))
+
+
+def test_int8_policy_depthwise_signature():
+    """The trace-time depthwise detector: grouped HWIO kernel (I==1,
+    O==input channels) is skipped; a regular conv and a 1-channel-input
+    conv are not."""
+    weight_q = {'dw': (jnp.zeros((3, 3, 1, 16), jnp.int8), jnp.ones(16)),
+                'conv': (jnp.zeros((3, 3, 16, 32), jnp.int8), jnp.ones(32)),
+                'gray': (jnp.zeros((5, 5, 1, 32), jnp.int8), jnp.ones(32))}
+    scales = {'dw': 0.1, 'conv': 0.1, 'gray': 0.1}
+    policy = int8_ops.Int8ServingPolicy(weight_q, scales)
+    calls = []
+    fn = lambda xv, kv, acc_dtype=None: (calls.append(True),
+                                         jnp.zeros((1, 1, 1, kv.shape[-1]),
+                                                   jnp.int32))[1]
+    assert policy.run_contraction(
+        'dw', jnp.zeros((1, 8, 8, 16)), jnp.zeros((3, 3, 1, 16)), fn) is None
+    assert policy.run_contraction(
+        'conv', jnp.zeros((1, 8, 8, 16)), jnp.zeros((3, 3, 16, 32)),
+        fn) is not None
+    assert policy.run_contraction(
+        'gray', jnp.zeros((1, 8, 8, 1)), jnp.zeros((5, 5, 1, 32)),
+        fn) is not None

@@ -42,8 +42,10 @@ def small_scope():
         yield
 
 
-@pytest.mark.slow
 def test_plain_artifact_serves_bn_model_exactly(tmp_path, small_scope):
+    # deliberately NOT marked slow: the default gate keeps one serving-loader
+    # exactness representative (ADVICE r3 #5) — the quant/residual variants
+    # cover the remaining artifact modes in the slow suite
     from pocketflow_tpu.tools.serving import load_serving_model
     learner, state, ckpt = _trained_resnet20(tmp_path)
     out = _cli(ckpt, str(tmp_path / 'exp' / 'plain'), 'plain')
