@@ -5,8 +5,10 @@ The reference's test matrix runs the compression learners on BOTH detection
 models (/root/reference/docs/docs/test_cases.md, fasterrcnn rows); round 3
 covered SSD only.  This strip trains an FRCNN-ResNet18 baseline in the
 generalizing regime (8192 non-overlapping synthetic-VOC samples — the same
-fix that rescued the SSD strip from the 256-sample memorization regime),
-then measures full-set mAP for:
+fix that rescued the SSD strip from the 256-sample memorization regime) AND
+the hardened texture regime (HARD_REGIME: pixel noise + weaker/smaller
+objects — the clean regime saturates FRCNN at mAP 1.0, leaving the bands no
+discriminating power), then measures full-set mAP for:
 
   * weight sparsification @ 50% uniform,
   * LASSO channel pruning @ 60% preserve,
@@ -48,13 +50,24 @@ RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        'results', 'frcnn_compression_parity.json')
 
 # bands locked from the on-chip publish run (see RESULTS file): baseline must
-# stay in the generalizing-regime band and compression deltas within ~2x the
-# measured drop + eval noise (~±0.015 at 256 eval images).
-BASELINE_BAND = (0.60, 1.00)
+# stay in the calibrated NON-SATURATING window (the first publish of this
+# strip ran the clean-texture regime and saturated at mAP 1.0 everywhere —
+# zero discriminating power; the difficulty knobs below pull the achievable
+# ceiling down so compression damage is measurable) and compression deltas
+# within ~2x the measured drop + eval noise (~±0.02 at 256 eval images).
+BASELINE_BAND = (0.55, 0.97)
 LOCKED_MAX_DELTA = {
     'weight-sparse@50%': 0.08,
     'channel@60%preserve': 0.12,
 }
+
+# the hardened synthetic-VOC regime (calibrated via --probe on-chip
+# 2026-08-19: noise=48/amp=70 -> mAP 0.981 still near-saturated;
+# noise=64/amp=58 -> mAP 0.879, comfortable headroom both ways): weaker
+# texture + pixel noise + smaller objects than the SSD strip's defaults,
+# so an FRCNN-ResNet18 baseline lands below saturation
+HARD_REGIME = dict(synthetic_det_noise=64.0, synthetic_det_amp=58.0,
+                   synthetic_det_min_div=6, synthetic_det_max_div=3)
 
 
 def check_results(results):
@@ -92,7 +105,50 @@ def base_flags(workdir, quick):
         summ_step=1000, save_step=10 ** 6,
         save_path=os.path.join(workdir, 'models/model.ckpt'),
         log_dir=os.path.join(workdir, 'logs'),
-        nb_epochs_rat=0.02 if quick else 1.0)
+        nb_epochs_rat=0.02 if quick else 1.0,
+        **HARD_REGIME)
+
+
+def _channel_point_flags(workdir, ft_rat):
+    # Reference-scale reconstruction sampling (30 batches x 10 points,
+    # channel_pruner.py defaults).  The first measure of this point used the
+    # 4x8 smoke sizing and lost 0.20 mAP: with rows << c_sel*h*w the
+    # per-layer regression is under-determined and the ridge interpolant
+    # reconstructs head kernels the finetune cannot recover — the exact
+    # failure mode the SSD strip documents (detection_parity.py channel
+    # point).  30x10 sampling restores the determined regime.
+    return dict(cp_prune_option='uniform', cp_uniform_preserve_ratio=0.6,
+                cp_nb_batches=30, cp_nb_points_per_layer=10,
+                cp_nb_iters_ft_ratio=1.0, cp_lasso_nb_iters=120,
+                nb_epochs_rat=ft_rat,
+                cp_channel_pruned_path=os.path.join(workdir, 'cp/model.ckpt'))
+
+
+def rerun_channel_point(workdir):
+    """Re-measure ONLY the channel point against the existing baseline
+    checkpoint in `workdir` (written by a previous full run), merging the
+    new number into the published RESULTS file."""
+    FLAGS.override(**base_flags(workdir, quick=False))
+    from pocketflow_tpu.learners import create_learner
+    from pocketflow_tpu.nets.faster_rcnn_at_pascalvoc import ModelHelper
+    with open(RESULTS) as fin:
+        results = json.load(fin)
+    baseline = results['full-prec_mAP']
+    with FLAGS.scope(**_channel_point_flags(workdir, ft_rat=0.5)):
+        cp = create_learner(None, ModelHelper(), learner_name='channel')
+        state = cp.train()
+        helper = cp.model_helper
+        m = float(helper.evaluate_map(cp.model, state, helper.dataset_eval)
+                  ['mAP'])
+    results['channel@60%preserve_mAP'] = round(m, 4)
+    results['channel@60%preserve_delta'] = round(baseline - m, 4)
+    print(json.dumps({'channel@60%preserve_mAP': round(m, 4),
+                      'delta': results['channel@60%preserve_delta']}),
+          flush=True)
+    with open(RESULTS, 'w') as fout:
+        json.dump(results, fout, indent=2)
+    print('results merged into %s' % RESULTS)
+    _check_and_exit(results)
 
 
 def run_strip(workdir=None, quick=False):
@@ -132,12 +188,7 @@ def run_strip(workdir=None, quick=False):
         record('weight-sparse@50%', full_map(ws, ws.train()))
 
     # 3. LASSO channel pruning @ 60% preserve
-    with FLAGS.scope(cp_prune_option='uniform', cp_uniform_preserve_ratio=0.6,
-                     cp_nb_batches=4, cp_nb_points_per_layer=8,
-                     cp_nb_iters_ft_ratio=1.0, cp_lasso_nb_iters=120,
-                     nb_epochs_rat=ft_rat,
-                     cp_channel_pruned_path=os.path.join(
-                         workdir, 'cp/model.ckpt')):
+    with FLAGS.scope(**_channel_point_flags(workdir, ft_rat)):
         cp = create_learner(None, ModelHelper(), learner_name='channel')
         record('channel@60%preserve', full_map(cp, cp.train()))
 
@@ -155,11 +206,15 @@ def run_strip(workdir=None, quick=False):
     return results
 
 
-def run_probe(backbone):
-    """Baseline-only recipe probe (no compression points)."""
+def run_probe(backbone, overrides=None):
+    """Baseline-only recipe probe (no compression points); `overrides`
+    lets difficulty-knob calibration sweeps run without editing the file:
+    --probe resnet18 synthetic_det_noise=60 nb_epochs_rat=0.5"""
     workdir = tempfile.mkdtemp(prefix='pf_frcnn_probe_')
     FLAGS.override(**base_flags(workdir, quick=False))
     FLAGS.override(frcnn_backbone=backbone)
+    for k, v in (overrides or {}).items():
+        FLAGS.override(**{k: v})
     from pocketflow_tpu.learners import create_learner
     from pocketflow_tpu.nets.faster_rcnn_at_pascalvoc import ModelHelper
     t0 = time.time()
@@ -187,10 +242,22 @@ if __name__ == '__main__':
         with open(sys.argv[sys.argv.index('--check-file') + 1]) as fin:
             _check_and_exit(json.load(fin))
         sys.exit(0)
+    if '--rerun-channel' in sys.argv:
+        rerun_channel_point(sys.argv[sys.argv.index('--rerun-channel') + 1])
+        sys.exit(0)
     if '--probe' in sys.argv:
         idx = sys.argv.index('--probe')
-        run_probe(sys.argv[idx + 1] if len(sys.argv) > idx + 1
-                  else 'resnet18')
+        rest = sys.argv[idx + 1:]
+        backbone = rest[0] if rest and '=' not in rest[0] else 'resnet18'
+        overrides = {}
+        for tok in rest:
+            if '=' in tok:
+                k, v = tok.split('=', 1)
+                try:
+                    overrides[k] = int(v)
+                except ValueError:
+                    overrides[k] = float(v)
+        run_probe(backbone, overrides)
         sys.exit(0)
     out = run_strip(quick='--quick' in sys.argv)
     out = {k: (round(float(v), 4) if not isinstance(v, (bool, str)) else v)

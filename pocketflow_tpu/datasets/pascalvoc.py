@@ -28,6 +28,18 @@ from pocketflow_tpu.datasets.abstract import AbstractDataset, DatasetSpec
 FLAGS.DEFINE_integer('nb_bboxs_max', 32, 'max # of bounding boxes per image')
 FLAGS.DEFINE_integer('voc_image_size', None,
                      'override Pascal VOC image size (e.g. 64 for smoke tests)')
+# synthetic-task difficulty knobs (defaults = the exact regime the committed
+# SSD detection bands were measured in; harder strips lower amp / raise noise
+# / shrink boxes to pull the achievable-mAP ceiling below saturation)
+FLAGS.DEFINE_float('synthetic_det_noise', 0.0,
+                   'additive gaussian pixel-noise sigma (uint8 units) on '
+                   'synthetic detection images')
+FLAGS.DEFINE_float('synthetic_det_amp', 120.0,
+                   'texture amplitude of synthetic detection objects')
+FLAGS.DEFINE_integer('synthetic_det_min_div', 4,
+                     'min object size = image_size // this')
+FLAGS.DEFINE_integer('synthetic_det_max_div', 2,
+                     'max object size = image_size // this')
 
 VOC_CLASSES = (
     'aeroplane', 'bicycle', 'bird', 'boat', 'bottle', 'bus', 'car', 'cat',
@@ -89,6 +101,10 @@ class PascalVocDataset(AbstractDataset):
         # 8k+ images to put the task in a generalizing (non-memorizable) regime
         n = max(64, min(n, (1 << 27) // (h * w * c)))
         nb_max = FLAGS.nb_bboxs_max
+        amp = float(FLAGS.get('synthetic_det_amp') or 120.0)
+        noise = float(FLAGS.get('synthetic_det_noise') or 0.0)
+        min_div = int(FLAGS.get('synthetic_det_min_div') or 4)
+        max_div = int(FLAGS.get('synthetic_det_max_div') or 2)
         rng = np.random.default_rng(777 + (0 if self.is_train else 1))
         images = rng.integers(100, 156, size=(n, h, w, c)).astype(np.uint8)
         labels = np.zeros((n, nb_max, 6), np.float32)
@@ -103,8 +119,8 @@ class PascalVocDataset(AbstractDataset):
                 # leaving a ground-truth label whose visual evidence is gone
                 # (irreducible label noise that caps achievable mAP)
                 for _ in range(8):
-                    bh = rng.integers(h // 4, h // 2)
-                    bw = rng.integers(w // 4, w // 2)
+                    bh = rng.integers(max(h // min_div, 2), max(h // max_div, 3))
+                    bw = rng.integers(max(w // min_div, 2), max(w // max_div, 3))
                     y0 = rng.integers(0, h - bh)
                     x0 = rng.integers(0, w - bw)
                     if all(y0 >= py1 or y0 + bh <= py0 or
@@ -115,7 +131,7 @@ class PascalVocDataset(AbstractDataset):
                     continue  # image stays at nb_boxes-1 ground truths
                 placed.append((y0, x0, y0 + bh, x0 + bw))
                 fx, fy = (cls % 5) + 1, (cls // 5) + 1
-                patch = 127.5 + 120.0 * np.sin(
+                patch = 127.5 + amp * np.sin(
                     2 * np.pi * (fx * xx[y0:y0 + bh, x0:x0 + bw] / w
                                  + fy * yy[y0:y0 + bh, x0:x0 + bw] / h))
                 images[i, y0:y0 + bh, x0:x0 + bw] = np.clip(
@@ -123,6 +139,11 @@ class PascalVocDataset(AbstractDataset):
                 labels[i, len(placed) - 1] = [cls, y0 / h, x0 / w,
                                               (y0 + bh) / h, (x0 + bw) / w,
                                               1.0]
+        if noise > 0.0:
+            images = np.clip(
+                images.astype(np.float32)
+                + rng.normal(0.0, noise, size=images.shape).astype(np.float32),
+                0, 255).astype(np.uint8)
         return images, labels
 
     def augment(self, images, rng, is_train):

@@ -50,6 +50,34 @@ def test_pascalvoc_npz_parse(tmp_path):
         assert np.all(valid.sum(axis=1) == 1)  # one valid box per image
 
 
+def test_synthetic_detection_difficulty_knobs():
+    """The difficulty flags reshape the synthetic-VOC task (noise, texture
+    amplitude, object size) while their DEFAULTS leave the generator
+    bit-identical to the regime the committed SSD detection bands were
+    measured in (experiments/results/detection_parity.json)."""
+    from pocketflow_tpu.datasets.pascalvoc import PascalVocDataset
+    with FLAGS.scope(synthetic_data=True, voc_image_size=64, nb_bboxs_max=8,
+                     nb_smpls_eval=48):
+        ds = PascalVocDataset(is_train=False)
+        img_a, lab_a = ds.synthesize_detection_arrays(48)
+        img_b, lab_b = ds.synthesize_detection_arrays(48)
+        # deterministic at fixed flags
+        np.testing.assert_array_equal(img_a, img_b)
+        np.testing.assert_array_equal(lab_a, lab_b)
+        with FLAGS.scope(synthetic_det_noise=48.0, synthetic_det_amp=70.0,
+                         synthetic_det_min_div=6, synthetic_det_max_div=3):
+            img_h, lab_h = ds.synthesize_detection_arrays(48)
+        # hard regime: same box placement stream, smaller boxes, noisy pixels
+        assert not np.array_equal(img_a, img_h)
+        v = lab_h[..., 5] > 0
+        heights = (lab_h[..., 3] - lab_h[..., 1])[v] * 64
+        assert heights.max() <= 64 // 3 + 1
+        assert heights.min() >= 64 // 6 - 1
+        # per-pixel noise really landed (clean regime has flat background)
+        corner = img_h[:, :4, :4, 0].astype(np.int32)
+        assert corner.std() > np.clip(img_a[:, :4, :4, 0], 100, 155).std()
+
+
 def test_pad_random_crop_and_flip_shapes():
     from pocketflow_tpu.datasets import augment
     x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
