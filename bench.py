@@ -37,12 +37,43 @@ EXACT_BN_FLOOR_IMG_PER_SEC = 2480.0
 # Real HBM traffic per batch-256 step (measured via XLA cost_analysis + the
 # copy-add roofline probes, docs/performance.md "The roofline, corrected"):
 # ~35 GB against a practical 355-400 GB/s streaming ceiling on this chip.
+# The historical range is kept for context, but every bench run ALSO probes
+# the ceiling in-session (measure_hbm_ceiling) so the "roofline-bound" claim
+# is falsifiable against the same session's bandwidth, not a stale constant.
 HBM_GB_PER_STEP = 35.0
 HBM_CEILING_GB_PER_SEC = (355.0, 400.0)
 
 
-def measure(bn_stats_subsample):
-    """Measure steady-state train-step throughput at the given BN regime."""
+def measure_hbm_ceiling():
+    """Same-session practical streaming bandwidth: a jitted bf16 copy-add
+    over a 256 MB buffer (read + write = 512 MB per call), chained so the
+    calls serialize, timed with the same pipelined-dispatch +
+    data-dependent-device_get protocol as the train steps."""
+    n = 128 * (1 << 20)  # 128M bf16 elements = 256 MB
+    x = jax.jit(lambda: jnp.zeros((n,), jnp.bfloat16))()
+    step = jax.jit(lambda v: v + jnp.bfloat16(1))
+    x = step(x)  # compile
+    for _ in range(3):
+        x = step(x)
+    float(jax.device_get(x[0]))
+    n_timed = 10
+    start = time.perf_counter()
+    for _ in range(n_timed):
+        x = step(x)
+    float(jax.device_get(x[0]))
+    elapsed = time.perf_counter() - start
+    return 2.0 * n * 2 * n_timed / elapsed / 1e9  # GB/s (read+write, bf16)
+
+
+def measure(bn_stats_subsample, composed=False):
+    """Measure steady-state train-step throughput at the given BN regime.
+
+    composed=True measures the CP+QAT composed step (BASELINE.json's target
+    sentence stacks the two flagship learners): 50% of input channels masked
+    per conv kernel, with the masked-gradient transform and the post-update
+    re-zero the channel learner's finetune uses, on top of the QAT fake-quant
+    policy — the train step `experiments/composed_cp_qat.py` locks for
+    accuracy."""
     from pocketflow_tpu.config import FLAGS
     from pocketflow_tpu.nets.resnet_at_ilsvrc12 import ModelHelper
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
@@ -60,7 +91,30 @@ def measure(bn_stats_subsample):
         if qat:
             learner = UniformQuantLearner(None, helper)
             state, tx, _ = learner.init_state_quant()
-            train_step = learner.build_quant_train_step(tx)
+            if composed:
+                from pocketflow_tpu.learners.weight_sparsification import masking
+                mrng = np.random.default_rng(0)
+
+                def mk(leaf):
+                    if leaf.ndim == 4 and leaf.shape[2] > 16:
+                        c = leaf.shape[2]
+                        alive = np.zeros(c, np.float32)
+                        alive[mrng.permutation(c)[:(c + 1) // 2]] = 1.0
+                        return jnp.asarray(alive.reshape(1, 1, -1, 1))
+                    return jnp.ones((), jnp.float32)
+
+                masks = jax.tree_util.tree_map(mk, state.params)
+                state = learner.set_extra(state,
+                                          {**state.extra, 'masks': masks})
+                train_step = learner.build_train_step(
+                    tx, policy_fn=learner._policy_fn(),
+                    grad_transform_fn=lambda g, s: masking.mask_gradients(
+                        g, s.extra['masks']),
+                    post_update_fn=lambda s: s.replace(
+                        params=masking.apply_masks(s.params,
+                                                   s.extra['masks'])))
+            else:
+                train_step = learner.build_quant_train_step(tx)
         else:
             learner = FullPrecLearner(None, helper)
             state, tx, _ = learner.init_state()
@@ -111,11 +165,16 @@ def main():
     # statistics regime (Horovod batch 256 over 8 workers); see
     # docs/performance.md for the semantics discussion.
     ghost, _ = measure(bn_stats_subsample=8)
+    # Extra: the composed CP+QAT step (masked grads + re-zero on top of the
+    # fake-quant policy) — the north-star pipeline's training throughput
+    pruned_qat, _ = measure(bn_stats_subsample=1, composed=True)
 
     # achieved HBM bandwidth (keeps the "~90% of the practical ceiling"
-    # roofline claim auditable in every BENCH_r*.json)
+    # roofline claim auditable in every BENCH_r*.json), plus the SAME-SESSION
+    # measured ceiling so the roofline-bound claim is falsifiable
     step_time = BATCH_SIZE / exact if exact > 0 else float('inf')
     achieved_gb_s = HBM_GB_PER_STEP / step_time
+    ceiling_gb_s = measure_hbm_ceiling()
 
     print(json.dumps({
         'metric': 'images/sec/chip (%s ResNet-50 @ 224, bf16, bs=%d, exact sync-BN)'
@@ -125,8 +184,12 @@ def main():
         'vs_baseline': round(exact / A100_TF_QAT_RESNET50_IMG_PER_SEC, 3),
         'value_ghost_bn_8': round(ghost, 2),
         'vs_baseline_ghost_bn_8': round(ghost / A100_TF_QAT_RESNET50_IMG_PER_SEC, 3),
+        'value_pruned_qat': round(pruned_qat, 2),
         'hbm_gb_per_s': round(achieved_gb_s, 1),
         'hbm_ceiling_gb_per_s': list(HBM_CEILING_GB_PER_SEC),
+        'hbm_ceiling_measured_gb_per_s': round(ceiling_gb_s, 1),
+        'hbm_frac_of_measured_ceiling': round(achieved_gb_s
+                                              / max(ceiling_gb_s, 1e-9), 3),
         'floor_img_per_s': EXACT_BN_FLOOR_IMG_PER_SEC,
     }))
 

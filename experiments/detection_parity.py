@@ -56,6 +56,17 @@ LOCKED_MAX_DELTA = {
     'channel@60%preserve': 0.10,
     'chn-pruned-gpu@40%': 0.10,
 }
+# Two-sided bands (VERDICT r4 weak #3): on this synthetic strip several
+# compressed points BEAT the baseline (WS -0.0235, CPG -0.0365) because
+# masking/group-shrinkage act as regularizers on an 8192-sample task — the
+# baselines are honest (full schedule, tuned wd) but the task is small
+# enough that extra regularization still helps, unlike the reference's
+# real-VOC points which never beat baseline.  An "improvement" far beyond
+# that measured regularization effect is therefore ALSO a red flag (e.g. a
+# train-pipeline regression that quietly degrades the baseline): lock a
+# lower bound at measured-best-improvement (-0.0365) + noise (±0.01) with
+# the usual ~2x margin.
+LOCKED_MIN_DELTA = -0.09
 
 
 def check_results(results):
@@ -80,6 +91,11 @@ def check_results(results):
         if delta > bound:
             violations.append('%s mAP delta %.4f exceeds locked band %.2f'
                               % (key, delta, bound))
+        if not quick and delta < LOCKED_MIN_DELTA:
+            violations.append(
+                '%s mAP delta %.4f "improves" past the two-sided floor %.2f '
+                '— suspect a baseline/train-pipeline regression'
+                % (key, delta, LOCKED_MIN_DELTA))
     return violations
 
 

@@ -60,6 +60,11 @@ LOCKED_MAX_DELTA = {
     'weight-sparse@50%': 0.08,
     'channel@60%preserve': 0.12,
 }
+# two-sided floor (VERDICT r4 weak #3, same rationale as detection_parity):
+# WS measured -0.0278 (masking regularizes the 8192-sample task); an
+# "improvement" beyond measured-best + noise with 2x margin means the
+# baseline or train pipeline regressed, not that compression got better
+LOCKED_MIN_DELTA = -0.09
 
 # the hardened synthetic-VOC regime (calibrated via --probe on-chip
 # 2026-08-19: noise=48/amp=70 -> mAP 0.981 still near-saturated;
@@ -89,6 +94,11 @@ def check_results(results):
         if delta > bound:
             violations.append('%s mAP delta %.4f exceeds locked band %.2f'
                               % (key, delta, bound))
+        if not quick and delta < LOCKED_MIN_DELTA:
+            violations.append(
+                '%s mAP delta %.4f "improves" past the two-sided floor %.2f '
+                '— suspect a baseline/train-pipeline regression'
+                % (key, delta, LOCKED_MIN_DELTA))
     return violations
 
 

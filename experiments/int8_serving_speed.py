@@ -24,6 +24,36 @@ from pocketflow_tpu.config import FLAGS
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        'results', 'int8_serving_speed.json')
 
+# locked serving bands (the reference's deployment pitch is that int8 wins,
+# /root/reference/docs/docs/performance.md:41-48).  resnet50 is
+# MXU-dominated so int8 must strictly win; mobilenet-v1 in skip-depthwise
+# mode must at least not LOSE to bf16 (the depthwise path is VPU-bound and
+# stays bf16 — see ops/int8_ops.py Int8ServingPolicy).
+LOCKED_MIN_SPEEDUP = {'resnet50': 1.05, 'mobilenet_v1': 1.0}
+
+
+def check_results(results):
+    """Band check for the committed serving evidence (gate-wired by
+    tests/test_evidence_integrity.py)."""
+    violations = []
+    for model, floor in LOCKED_MIN_SPEEDUP.items():
+        entry = results.get(model)
+        if not isinstance(entry, dict) or 'speedup' not in entry:
+            violations.append('%s speedup missing from results' % model)
+            continue
+        if entry['speedup'] < floor:
+            violations.append(
+                '%s int8 speedup %.3f below locked floor %.2f'
+                % (model, entry['speedup'], floor))
+    mb = results.get('mobilenet_v1') or {}
+    if 'int8_ms' in mb and 'int8_dw_quantized_ms' in mb \
+            and mb['int8_ms'] > mb['int8_dw_quantized_ms']:
+        violations.append(
+            'skip-depthwise mode is SLOWER than quantizing depthwise '
+            '(%.3f ms vs %.3f ms) — the policy default is wrong'
+            % (mb['int8_ms'], mb['int8_dw_quantized_ms']))
+    return violations
+
 
 def measure(tag, model, shape, skip_depthwise=None):
     from pocketflow_tpu.nn.layers import compression
@@ -53,7 +83,14 @@ def measure(tag, model, shape, skip_depthwise=None):
         elapsed = bm._time_forward(fn, variables, inputs, 100, 100)
         key = 'int8_ms' if skip else 'int8_dw_quantized_ms'
         out[key] = round(elapsed / 100 * 1000.0, 3)
-    out['speedup'] = round(out['bf16_ms'] / out['int8_ms'], 3)
+    # speedup is quoted for the policy's default (skip) mode when measured;
+    # a dw-quantized-only run reports its own ratio under a distinct key so
+    # callers passing skip_depthwise=False don't KeyError (ADVICE r4 #5)
+    if 'int8_ms' in out:
+        out['speedup'] = round(out['bf16_ms'] / out['int8_ms'], 3)
+    if 'int8_dw_quantized_ms' in out:
+        out['dw_quantized_speedup'] = round(
+            out['bf16_ms'] / out['int8_dw_quantized_ms'], 3)
     print(json.dumps({tag: out}), flush=True)
     return out
 

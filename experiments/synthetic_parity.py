@@ -65,8 +65,13 @@ LOCKED_MAX_DELTA = {
     'non-uniform@4bit': 0.08,     # measured 0.0151
     'non-uniform@8bit': 0.04,     # measured -0.0005
     'chn-pruned-gpu@50%': 0.14,   # measured 0.0625
-    'channel@50%': 0.20,          # measured 0.1055 r4 (0.1630 r3, improved by
-                                  # the ridge-regularized lstsq reconstruction)
+    'channel@50%': 0.14,          # measured 0.1055 r4 (0.1630 r3, improved by
+                                  # the ridge-regularized lstsq
+                                  # reconstruction); tightened 0.20->0.14 in
+                                  # r5 (VERDICT r4 #8: a bug costing 0.09
+                                  # must not pass silently — discriminating
+                                  # power re-proven by the wrong-k drill,
+                                  # results/parity_hard_bug.json)
     'channel@50%+sched': 0.12,    # measured -0.0278 (--cp_finetune_schedule
                                   # recovers the constant-lr gap entirely)
     'chn-pruned-rmt@50%': 0.06,   # measured -0.0195
@@ -92,15 +97,28 @@ MOBILENET_SNR = 0.15          # calibrated on-chip 2026-08-18
                               # memorize-vs-generalize race flips sharply
                               # between 0.10 and 0.15); see
                               # docs/performance.md
-BASELINE_BAND_MOBILENET = (0.78, 0.96)
+BASELINE_BAND_MOBILENET = (0.84, 0.95)  # measured 0.8926 on-chip r5
+                                        # (was provisional (0.78, 0.96))
 LOCKED_MAX_DELTA_MOBILENET = {
-    'weight-sparse@50%': 0.06,
-    'weight-sparse@90%': 0.20,
-    'uniform-tf@8/8': 0.06,
-    'chn-pruned-gpu@50%': 0.16,
-    'channel@50%': 0.30,
-    'channel@50%+sched': 0.16,
+    # bands validated/tightened from the on-chip r5 publish
+    # (results/parity_hard_mobilenet.json): ~2x margin over the measured
+    # delta plus +-0.02 eval noise at 2048 eval images
+    'weight-sparse@50%': 0.06,    # measured +0.0039
+    'weight-sparse@90%': 0.12,    # measured -0.0503 (was provisional 0.20)
+    'uniform-tf@8/8': 0.04,       # measured -0.0068 (was provisional 0.06)
+    'chn-pruned-gpu@50%': 0.10,   # measured -0.0425 (was provisional 0.16)
+    'channel@50%': 0.10,          # measured +0.0293 (was provisional 0.30 —
+                                  # VERDICT r4 weak #4)
+    'channel@50%+sched': 0.10,    # measured -0.0479 (was provisional 0.16)
 }
+
+# Two-sided floors (VERDICT r4 weak #3, same rationale as detection_parity):
+# on the synthetic strips several compressed points BEAT the baseline
+# because masking/shrinkage act as regularizers on a small task — an
+# "improvement" far beyond the measured regularization effect means the
+# baseline or train pipeline regressed.  Floors = measured best improvement
+# (resnet20: cpg -0.0288; mobilenet: ws@90% -0.0503) + noise, ~2x margin.
+LOCKED_MIN_DELTA_FAMILY = {'resnet20': -0.09, 'mobilenet_v1': -0.10}
 
 
 def _bands_for(family):
@@ -113,6 +131,7 @@ def check_results(results, family='resnet20'):
     """Return a list of human-readable band violations (empty == healthy)."""
     violations = []
     baseline_band, locked = _bands_for(family)
+    min_delta = LOCKED_MIN_DELTA_FAMILY.get(family, -0.10)
     base = results.get('full-prec')
     if base is None:
         return ['full-prec baseline missing from results']
@@ -128,6 +147,11 @@ def check_results(results, family='resnet20'):
         if delta > bound:
             violations.append('%s delta %.4f exceeds locked band %.2f'
                               % (key, delta, bound))
+        if not results.get('_quick') and delta < min_delta:
+            violations.append(
+                '%s delta %.4f "improves" past the two-sided floor %.2f '
+                '— suspect a baseline/train-pipeline regression'
+                % (key, delta, min_delta))
     return violations
 
 
@@ -142,6 +166,20 @@ def inject_wrong_k_bug():
         return orig(x, jnp.maximum(k // 4, 1), axis)
 
     fq._quantize_math = buggy
+
+
+def inject_channel_wrong_k_bug():
+    """Simulate a preserve-ratio bug in the channel pruner: the requested
+    preserve fraction is silently halved (keep 25% when asked for 50%) —
+    the channel-pruning analogue of the quantizer wrong-k bug, proving the
+    tightened channel@50% band (0.14) catches selection-count regressions."""
+    from pocketflow_tpu.learners.channel_pruning import channel_pruner as cpm
+    orig = cpm.ChannelPruner.prune_layer
+
+    def buggy(self, spec, kernel, X, Y, preserve_ratio):
+        return orig(self, spec, kernel, X, Y, preserve_ratio * 0.5)
+
+    cpm.ChannelPruner.prune_layer = buggy
 
 
 def run_sweep(workdir=None, quick=False):
@@ -378,12 +416,18 @@ def run_sweep_mobilenet(workdir=None, quick=False):
     return results
 
 
-def run_bug_demo(workdir=None):
-    """Baseline + UQ@4bit with the wrong-k bug injected: the delta must be
-    far outside the healthy band (docs/performance.md locks the bands)."""
+def run_bug_demo(workdir=None, mode='uq'):
+    """Baseline + a compressed point with a wrong-k bug injected: the delta
+    must be far outside the healthy band (docs/performance.md locks the
+    bands).  mode='uq' breaks the quantizer level count; mode='channel'
+    halves the channel pruner's preserve ratio."""
     workdir = workdir or tempfile.mkdtemp(prefix='pf_parity_bug_')
-    inject_wrong_k_bug()
-    results = {}
+    if mode == 'channel':
+        inject_channel_wrong_k_bug()
+    else:
+        inject_wrong_k_bug()
+    results = {'_bug': 'channel_wrong_k' if mode == 'channel' else
+               'uq_wrong_k'}
     FLAGS.override(
         synthetic_data=True, synthetic_task='hard',
         synthetic_snr=HARD_TASK_SNR, nb_classes=64,
@@ -399,6 +443,23 @@ def run_bug_demo(workdir=None):
     state = learner.train()
     results['full-prec'] = float(learner.run_eval_loop(
         state, learner.build_eval_step())['accuracy'])
+    if mode == 'channel':
+        # the sweep's channel@50% recipe (point 7) with the halved-preserve
+        # bug active — delta must blow the tightened 0.14 band
+        with FLAGS.scope(cp_prune_option='uniform',
+                         cp_uniform_preserve_ratio=0.5,
+                         cp_nb_batches=6, cp_nb_points_per_layer=8,
+                         cp_nb_iters_ft_ratio=1.0,
+                         cp_channel_pruned_path=os.path.join(
+                             workdir, 'cp_bug/model.ckpt')):
+            learner = create_learner(None, ModelHelper(),
+                                     learner_name='channel')
+            state = learner.train()
+            results['channel@50%(buggy)'] = float(learner.run_eval_loop(
+                state, learner.build_eval_step())['accuracy'])
+        results['delta'] = (results['full-prec']
+                            - results['channel@50%(buggy)'])
+        return results
     with FLAGS.scope(uql_weight_bits=4, uql_use_buckets=True,
                      uql_bucket_type='channel', uql_quant_epochs=30,
                      uql_quantize_all_layers=False,
@@ -434,8 +495,17 @@ if __name__ == '__main__':
             data = json.load(fin)
         _check_and_exit(data, family=data.get('_family', family))
         sys.exit(0)
-    if '--inject_bug' in sys.argv:
-        out = run_bug_demo()
+    bug_mode = None
+    for i, arg in enumerate(sys.argv[1:], 1):
+        if arg.startswith('--inject_bug'):
+            if '=' in arg:
+                bug_mode = arg.split('=', 1)[1]
+            elif i + 1 < len(sys.argv) and not sys.argv[i + 1].startswith('-'):
+                bug_mode = sys.argv[i + 1]
+            else:
+                bug_mode = 'uq'
+    if bug_mode:
+        out = run_bug_demo(mode=bug_mode)
     elif family == 'mobilenet_v1':
         out = run_sweep_mobilenet(quick='--quick' in sys.argv)
     else:
@@ -443,8 +513,9 @@ if __name__ == '__main__':
     out = {k: (round(float(v), 4) if not isinstance(v, (bool, str)) else v)
            for k, v in out.items()}
     print(json.dumps(out, indent=2))
-    if '--inject_bug' in sys.argv:
-        tag = 'parity_hard_bug'
+    if bug_mode:
+        tag = ('parity_hard_bug' if bug_mode == 'uq'
+               else 'parity_hard_bug_%s' % bug_mode)
     elif family == 'mobilenet_v1':
         tag = 'parity_hard_mobilenet'
     else:

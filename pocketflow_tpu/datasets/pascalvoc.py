@@ -101,10 +101,15 @@ class PascalVocDataset(AbstractDataset):
         # 8k+ images to put the task in a generalizing (non-memorizable) regime
         n = max(64, min(n, (1 << 27) // (h * w * c)))
         nb_max = FLAGS.nb_bboxs_max
-        amp = float(FLAGS.get('synthetic_det_amp') or 120.0)
-        noise = float(FLAGS.get('synthetic_det_noise') or 0.0)
-        min_div = int(FLAGS.get('synthetic_det_min_div') or 4)
-        max_div = int(FLAGS.get('synthetic_det_max_div') or 2)
+        def _flag(name, default):
+            # an explicit 0/0.0 is a valid setting (e.g. texture-free probes
+            # with synthetic_det_amp=0), so only None falls back (ADVICE r4)
+            value = FLAGS.get(name)
+            return default if value is None else value
+        amp = float(_flag('synthetic_det_amp', 120.0))
+        noise = float(_flag('synthetic_det_noise', 0.0))
+        min_div = int(_flag('synthetic_det_min_div', 4))
+        max_div = int(_flag('synthetic_det_max_div', 2))
         rng = np.random.default_rng(777 + (0 if self.is_train else 1))
         images = rng.integers(100, 156, size=(n, h, w, c)).astype(np.uint8)
         labels = np.zeros((n, nb_max, 6), np.float32)

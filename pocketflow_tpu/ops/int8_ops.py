@@ -91,7 +91,8 @@ class Int8ServingPolicy(CompressionPolicy):
     chain around them is pure overhead (this is what capped MobileNet int8
     serving at 0.98x of bf16).  A depthwise site is recognized at trace time
     by its grouped-kernel signature: HWIO weights with I == 1 whose output
-    channel count equals the input's channel count.
+    channel count is a multiple of the input's channel count (channel
+    multiplier >= 1).
     """
 
     def __init__(self, weight_q, act_scales: Dict[str, float],
@@ -106,8 +107,14 @@ class Int8ServingPolicy(CompressionPolicy):
             return None
         if (self.skip_depthwise and kernel.ndim == 4
                 and kernel.shape[-2] == 1 and kernel.shape[-1] > 1
-                and x.shape[-1] == kernel.shape[-1]):
-            return None  # depthwise: stay on the bf16 VPU path
+                and x.shape[-1] > 1
+                and kernel.shape[-1] % x.shape[-1] == 0):
+            # depthwise (any channel multiplier: O = C * mult, I == 1):
+            # stay on the bf16 VPU path (ADVICE r4 — multiplier > 1 sites
+            # pay the same quantize/dequantize overhead as multiplier 1).
+            # x.shape[-1] > 1 keeps grayscale-stem DENSE convs (C == 1,
+            # mathematically indistinguishable from depthwise) on int8.
+            return None
         codes, w_scale = entry
         return int8_contract(x, codes, w_scale,
                              jnp.float32(self.act_scales[path]), contract_fn)

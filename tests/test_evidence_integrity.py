@@ -49,6 +49,7 @@ CHECKED = {
     'frcnn_compression_parity.json': ('frcnn_compression_parity', {}),
     'amc_vs_uniform.json': ('amc_vs_uniform', {}),
     'int8_serving_speed.json': ('int8_serving_speed', {}),
+    'composed_cp_qat.json': ('composed_cp_qat', {}),
 }
 
 # historical / diagnostic artifacts with no band semantics: each entry says
@@ -60,9 +61,10 @@ UNCHECKED_ALLOWLIST = {
     'amc_mobilenet_r3.json',
     # regime-calibration ladders (inputs to band choices, not claims)
     'parity_calibration.json',
-    # bug-injection drill proving band discriminating power (the stored
-    # payload is INTENTIONALLY a band violation)
+    # bug-injection drills proving band discriminating power (the stored
+    # payloads are INTENTIONALLY band violations)
     'parity_hard_bug.json',
+    'parity_hard_bug_channel.json',
     # superseded round-1/2 strips kept for the round-over-round narrative
     'synthetic_parity_r1.json',
     'synthetic_parity_r2.json',

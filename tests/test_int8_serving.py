@@ -174,3 +174,23 @@ def test_int8_policy_depthwise_signature():
     assert policy.run_contraction(
         'gray', jnp.zeros((1, 8, 8, 1)), jnp.zeros((5, 5, 1, 32)),
         fn) is not None
+
+
+def test_int8_policy_depthwise_multiplier_gt1_is_skipped():
+    """ADVICE r4 #5: depthwise with channel multiplier > 1 (I == 1,
+    O = C * mult) pays the same quantize/dequantize overhead as
+    multiplier 1 — the skip must cover it.  A non-multiple O (not a valid
+    grouped conv over C) stays on the int8 path."""
+    weight_q = {'dw2': (jnp.zeros((3, 3, 1, 32), jnp.int8), jnp.ones(32)),
+                'odd': (jnp.zeros((3, 3, 1, 24), jnp.int8), jnp.ones(24))}
+    scales = {'dw2': 0.1, 'odd': 0.1}
+    policy = int8_ops.Int8ServingPolicy(weight_q, scales)
+    fn = lambda xv, kv, acc_dtype=None: jnp.zeros(
+        (1, 1, 1, kv.shape[-1]), jnp.int32)
+    # multiplier-2 depthwise over 16 input channels: skipped (None)
+    assert policy.run_contraction(
+        'dw2', jnp.zeros((1, 8, 8, 16)), jnp.zeros((3, 3, 1, 32)), fn) is None
+    # O=24 is not a multiple of C=16: not a valid depthwise-over-C, int8 runs
+    assert policy.run_contraction(
+        'odd', jnp.zeros((1, 8, 8, 16)), jnp.zeros((3, 3, 1, 24)),
+        fn) is not None

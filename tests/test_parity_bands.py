@@ -27,12 +27,46 @@ from pocketflow_tpu.config import FLAGS  # noqa: E402
 
 RESULTS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'experiments', 'results', 'parity_hard.json')
+RESULTS_MOBILENET = os.path.join(
+    os.path.dirname(RESULTS), 'parity_hard_mobilenet.json')
 
 
 def test_band_checker_passes_stored_onchip_results():
     with open(RESULTS) as fin:
         results = json.load(fin)
     assert synthetic_parity.check_results(results) == []
+
+
+def test_mobilenet_band_checker_passes_stored_onchip_results():
+    """The MobileNet-v1 strip — the reference's headline compression family
+    (/root/reference/docs/docs/performance.md:9-26) — is backed by committed
+    on-chip evidence and validated (no longer provisional) bands."""
+    with open(RESULTS_MOBILENET) as fin:
+        results = json.load(fin)
+    assert results.get('_family') == 'mobilenet_v1'
+    assert synthetic_parity.check_results(results,
+                                          family='mobilenet_v1') == []
+
+
+def test_mobilenet_band_checker_fails_on_regressions():
+    with open(RESULTS_MOBILENET) as fin:
+        healthy = json.load(fin)
+    # a compression regression past the max band must be caught
+    bad = dict(healthy)
+    bad['channel@50%+sched_delta'] = healthy['channel@50%+sched_delta'] + 0.3
+    assert any('channel@50%+sched' in v for v in
+               synthetic_parity.check_results(bad, family='mobilenet_v1'))
+    # a baseline/train-pipeline regression disguised as "improvement"
+    # must trip the two-sided floor
+    toogood = dict(healthy)
+    toogood['chn-pruned-gpu@50%_delta'] = -0.25
+    assert any('two-sided floor' in v for v in
+               synthetic_parity.check_results(toogood, family='mobilenet_v1'))
+    # a silently-vanished sweep point must be caught
+    gone = {k: v for k, v in healthy.items()
+            if not k.startswith('weight-sparse@90%')}
+    assert any('weight-sparse@90%' in v for v in
+               synthetic_parity.check_results(gone, family='mobilenet_v1'))
 
 
 def test_band_checker_fails_on_regressions():
