@@ -46,23 +46,36 @@ HBM_CEILING_GB_PER_SEC = (355.0, 400.0)
 
 def measure_hbm_ceiling():
     """Same-session practical streaming bandwidth: a jitted bf16 copy-add
-    over a 256 MB buffer (read + write = 512 MB per call), chained so the
-    calls serialize, timed with the same pipelined-dispatch +
-    data-dependent-device_get protocol as the train steps."""
+    over a 256 MB buffer, looped K times INSIDE the jit via lax.scan so one
+    dispatch carries ~16 GB of HBM traffic (read + write per iteration; scan
+    iterations cannot fuse, each materializes its carry).  A single add per
+    call (1.4 ms of real work) would measure the axon tunnel's per-dispatch
+    overhead instead of bandwidth — that variant reads ~130 GB/s on a chip
+    whose train steps sustain 348 GB/s.  Timed with the same
+    pipelined-dispatch + data-dependent-device_get protocol as the train
+    steps."""
+    from jax import lax
     n = 128 * (1 << 20)  # 128M bf16 elements = 256 MB
+    k_inner = 32         # 32 x 512 MB = 16 GB of traffic per dispatch
+
     x = jax.jit(lambda: jnp.zeros((n,), jnp.bfloat16))()
-    step = jax.jit(lambda v: v + jnp.bfloat16(1))
+
+    @jax.jit
+    def step(v):
+        return lax.scan(lambda c, _: (c + jnp.bfloat16(1), None),
+                        v, None, length=k_inner)[0]
+
     x = step(x)  # compile
-    for _ in range(3):
-        x = step(x)
+    x = step(x)  # warm
     float(jax.device_get(x[0]))
-    n_timed = 10
+    n_timed = 4
     start = time.perf_counter()
     for _ in range(n_timed):
         x = step(x)
     float(jax.device_get(x[0]))
     elapsed = time.perf_counter() - start
-    return 2.0 * n * 2 * n_timed / elapsed / 1e9  # GB/s (read+write, bf16)
+    # bf16 = 2 bytes; traffic per scan iter = read n + write n
+    return 2.0 * n * 2 * k_inner * n_timed / elapsed / 1e9  # GB/s
 
 
 def measure(bn_stats_subsample, composed=False):
