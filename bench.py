@@ -36,12 +36,18 @@ N_TIMED = 20
 EXACT_BN_FLOOR_IMG_PER_SEC = 2480.0
 # Real HBM traffic per batch-256 step (measured via XLA cost_analysis + the
 # copy-add roofline probes, docs/performance.md "The roofline, corrected"):
-# ~35 GB against a practical 355-400 GB/s streaming ceiling on this chip.
-# The historical range is kept for context, but every bench run ALSO probes
-# the ceiling in-session (measure_hbm_ceiling) so the "roofline-bound" claim
-# is falsifiable against the same session's bandwidth, not a stale constant.
+# ~35 GB.  Every bench run probes BOTH measured envelopes in-session so the
+# "envelope-bound" claim is falsifiable against the same session's rates,
+# not a stale constant (experiments/roofline_probe.py, round 5):
+#  - streaming (copy-add) ceiling: ~480-500 GB/s;
+#  - conv envelope at the RN50 trunk shapes: ~200-250 GB/s (XLA conv ==
+#    XLA dot == hand-tiled Pallas within 5%, experiments/conv1x1_ab.py —
+#    the chip's limit for low-arithmetic-intensity matmuls).
+# The step's achieved rate mixes the two patterns, so the falsifiable
+# invariant is conv_envelope <= achieved <= streaming: below the conv
+# envelope means the step got slower than its slowest pattern (a real
+# regression); above streaming means the traffic model is wrong.
 HBM_GB_PER_STEP = 35.0
-HBM_CEILING_GB_PER_SEC = (355.0, 400.0)
 
 
 def measure_hbm_ceiling():
@@ -76,6 +82,45 @@ def measure_hbm_ceiling():
     elapsed = time.perf_counter() - start
     # bf16 = 2 bytes; traffic per scan iter = read n + write n
     return 2.0 * n * 2 * k_inner * n_timed / elapsed / 1e9  # GB/s
+
+
+def measure_conv_envelope():
+    """Same-session effective rate of the dominant 1x1-conv pattern
+    (bs-256 RN50 trunk shape), chained through a lax.scan carry like the
+    streaming probe.  This is the step's SLOWEST access pattern — measured
+    identical across XLA conv / XLA dot / hand-tiled Pallas
+    (experiments/conv1x1_ab.py), i.e. the chip envelope, not a lowering
+    artifact."""
+    from jax import lax
+    shape = (256, 56, 56, 256)
+    c = shape[-1]
+    k_inner = 12
+    n_elems = 1
+    for d in shape:
+        n_elems *= d
+    x = jax.jit(lambda: jnp.full(shape, 0.5, jnp.bfloat16))()
+    w = jax.jit(lambda: (jnp.eye(c) * 0.999)
+                .astype(jnp.bfloat16).reshape(1, 1, c, c))()
+
+    @jax.jit
+    def step(v):
+        def body(carry, _):
+            return lax.conv_general_dilated(
+                carry, w, (1, 1), 'SAME',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.bfloat16), None
+        return lax.scan(body, v, None, length=k_inner)[0]
+
+    x = step(x)
+    x = step(x)
+    float(jax.device_get(x[0, 0, 0, 0]))
+    n_timed = 4
+    start = time.perf_counter()
+    for _ in range(n_timed):
+        x = step(x)
+    float(jax.device_get(x[0, 0, 0, 0]))
+    elapsed = time.perf_counter() - start
+    return 2.0 * n_elems * 2 * k_inner * n_timed / elapsed / 1e9  # GB/s
 
 
 def measure(bn_stats_subsample, composed=False):
@@ -182,12 +227,15 @@ def main():
     # fake-quant policy) — the north-star pipeline's training throughput
     pruned_qat, _ = measure(bn_stats_subsample=1, composed=True)
 
-    # achieved HBM bandwidth (keeps the "~90% of the practical ceiling"
-    # roofline claim auditable in every BENCH_r*.json), plus the SAME-SESSION
-    # measured ceiling so the roofline-bound claim is falsifiable
+    # achieved HBM rate of the step (modeled 35 GB / measured time) plus the
+    # SAME-SESSION measured envelopes so the envelope-bound claim stays
+    # falsifiable: conv_envelope <= achieved <= streaming (see the constant
+    # block above; experiments/{roofline_probe,conv1x1_ab}.py for the
+    # per-pattern decomposition and the lowering A/B behind it)
     step_time = BATCH_SIZE / exact if exact > 0 else float('inf')
     achieved_gb_s = HBM_GB_PER_STEP / step_time
-    ceiling_gb_s = measure_hbm_ceiling()
+    streaming_gb_s = measure_hbm_ceiling()
+    conv_env_gb_s = measure_conv_envelope()
 
     print(json.dumps({
         'metric': 'images/sec/chip (%s ResNet-50 @ 224, bf16, bs=%d, exact sync-BN)'
@@ -199,10 +247,10 @@ def main():
         'vs_baseline_ghost_bn_8': round(ghost / A100_TF_QAT_RESNET50_IMG_PER_SEC, 3),
         'value_pruned_qat': round(pruned_qat, 2),
         'hbm_gb_per_s': round(achieved_gb_s, 1),
-        'hbm_ceiling_gb_per_s': list(HBM_CEILING_GB_PER_SEC),
-        'hbm_ceiling_measured_gb_per_s': round(ceiling_gb_s, 1),
-        'hbm_frac_of_measured_ceiling': round(achieved_gb_s
-                                              / max(ceiling_gb_s, 1e-9), 3),
+        'hbm_streaming_gb_per_s': round(streaming_gb_s, 1),
+        'conv_envelope_gb_per_s': round(conv_env_gb_s, 1),
+        'step_rate_in_envelope_band': bool(
+            conv_env_gb_s <= achieved_gb_s <= streaming_gb_s),
         'floor_img_per_s': EXACT_BN_FLOOR_IMG_PER_SEC,
     }))
 

@@ -50,6 +50,8 @@ CHECKED = {
     'amc_vs_uniform.json': ('amc_vs_uniform', {}),
     'int8_serving_speed.json': ('int8_serving_speed', {}),
     'composed_cp_qat.json': ('composed_cp_qat', {}),
+    'roofline_probe.json': ('roofline_probe', {}),
+    'conv1x1_ab.json': ('conv1x1_ab', {}),
 }
 
 # historical / diagnostic artifacts with no band semantics: each entry says
