@@ -10,10 +10,18 @@ experiments/synthetic_parity.py MOBILENET_SNR):
 
 1. train the full-prec baseline;
 2. run a REAL DDPG search (>=50 roll-outs, exploitation enabled) with the
-   LASSO channel pruner in auto mode, then finetune the best ratio vector;
-3. prune UNIFORMLY at the same preserved-FLOPs fraction from the SAME
-   baseline checkpoint and finetune identically;
-4. lock `rl >= uniform - noise` as a band (tests/test_amc_band.py).
+   LASSO channel pruner in auto mode;
+3. fully finetune the TOP-K distinct candidate ratio vectors (by fast-eval
+   reward) and select the winner by VAL accuracy — the fast reward is a
+   <=12-batch estimate whose argmax suffers winner's curse, so re-ranking K
+   finetuned candidates on the val split removes that selection noise
+   without ever touching the test set (the test accuracy is read once, from
+   the winner only);
+4. prune UNIFORMLY at the winner's preserved-FLOPs fraction from the SAME
+   baseline checkpoint and finetune identically (one arm, one finetune —
+   the uniform column needs no candidate selection because it has no
+   search);
+5. lock `rl >= uniform - noise` as a band (tests/test_amc_band.py).
 
 Run on the chip:  python experiments/amc_vs_uniform.py --publish
 Smoke:            python experiments/amc_vs_uniform.py --rlouts 4 --quick
@@ -67,6 +75,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--rlouts', type=int, default=60)
     ap.add_argument('--rlouts_min', type=int, default=15)
+    ap.add_argument('--topk', type=int, default=3,
+                    help='fully finetune the K best distinct candidates and '
+                         'select by VAL accuracy (1 = trust the reward argmax)')
     ap.add_argument('--quick', action='store_true')
     ap.add_argument('--publish', action='store_true')
     ap.add_argument('--check-file', dest='check_file', default=None)
@@ -112,7 +123,9 @@ def main():
     print(json.dumps({'baseline_accuracy': results['baseline_accuracy']}),
           flush=True)
 
-    # 2. RL search + finetune (ChannelPrunedLearner auto mode end-to-end)
+    # 2. RL search, then full finetune of the top-K distinct candidates
+    # with winner selection by VAL accuracy (the manual decomposition of
+    # ChannelPrunedLearner.train(): search_ratios_rl + prune_and_finetune)
     rewards = []
     t0 = time.time()
     with FLAGS.scope(cp_prune_option='auto', cp_preserve_ratio=0.5,
@@ -132,13 +145,41 @@ def main():
                 rewards.append(round(float(a[1]), 4))
             orig_info(msg, *a)
         rl_learner.log.info = tee_info
-        rl_state = rl_learner.train()
+
+        rl_learner.require_dp_only('the LASSO prune/search phase')
+        state0, _, _ = rl_learner.init_state()
+        state0, _ = rl_learner.restore_baseline(state0)
+        rl_learner._setup_pruner(state0)
+        best_ratios = rl_learner.search_ratios_rl(state0)
+        candidates = rl_learner.search_topk[:max(1, args.topk)]
+        if not candidates:
+            candidates = [(float('nan'), best_ratios)]
+        search_wall = time.time() - t0
+
+        # selection on the held-out VAL split only (never the test set)
+        eval_step = rl_learner.build_eval_step()
+        _, val_iter = rl_learner.dataset_train.build(enbl_trn_val_split=True)
+        nb_val = max(1, min(12, rl_learner.dataset_train.spec.nb_smpls_val
+                            // rl_learner.dataset_train.batch_size))
+        cand_rows, best_val, rl_state, ratios = [], -np.inf, None, None
+        for ci, (rwd, cand) in enumerate(candidates):
+            with FLAGS.scope(cp_channel_pruned_path=os.path.join(
+                    workdir, 'rl/cand%d/model.ckpt' % ci)):
+                st, _, _ = rl_learner.init_state()
+                st, _ = rl_learner.restore_baseline(st)
+                st = rl_learner.prune_and_finetune(st, cand)
+            val_acc = float(np.mean([float(jax.device_get(eval_step(
+                st, rl_learner.put_batch(next(val_iter)))['accuracy']))
+                for _ in range(nb_val)]))
+            cand_rows.append({'reward': round(float(rwd), 4),
+                              'val_accuracy': round(val_acc, 4),
+                              'ratios': [round(float(r), 3) for r in cand]})
+            print(json.dumps({'candidate': ci, **cand_rows[-1]}), flush=True)
+            if val_acc > best_val:
+                best_val, rl_state, ratios = val_acc, st, list(cand)
+        # the test set is read ONCE, for the winner
         rl_acc = float(rl_learner.run_eval_loop(
-            rl_state, rl_learner.build_eval_step())['accuracy'])
-        # the searched ratio vector + its true preserved-FLOPs fraction
-        search = np.load(os.path.join(workdir, 'rl/ddpg_search.npz'),
-                         allow_pickle=True)
-        ratios = [float(r) for r in search['x_ratios_best']]
+            rl_state, eval_step)['accuracy'])
         flops = np.array([s['flops'] for s in rl_learner.specs], np.float64)
         preserved = float(np.sum(flops * np.asarray(ratios)) / flops.sum())
     results.update({
@@ -146,8 +187,11 @@ def main():
         'rl_ratios': [round(r, 3) for r in ratios],
         'preserved_flops_frac': round(preserved, 4),
         'nb_rlouts': args.rlouts, 'nb_rlouts_min': args.rlouts_min,
+        'topk': len(candidates),
+        'rl_selection': 'full-finetune top-k, winner by val accuracy',
+        'candidates': cand_rows,
         'reward_trace': rewards,
-        'search_wall_s': round(time.time() - t0, 1),
+        'search_wall_s': round(search_wall, 1),
     })
     print(json.dumps({'rl_accuracy': results['rl_accuracy'],
                       'preserved_flops_frac': preserved}), flush=True)

@@ -133,6 +133,25 @@ class AmcRLHelper:
                      * math.log(max(self.preserved_flops(), 2.0)))
 
 
+def _merge_topk(candidates, reward, ratios, k: int = 5,
+                min_dist: float = 0.05):
+    """Keep the K best (reward, ratios) pairs, pairwise distinct (mean
+    |delta-ratio| >= min_dist) so adjacent rollouts of a converged policy
+    don't fill every slot with near-duplicates — a candidate too close to an
+    already-kept better one is dropped."""
+    merged = []
+    for r, rs in sorted(candidates + [(float(reward), list(ratios))],
+                        key=lambda t: -t[0]):
+        vec = np.asarray(rs, np.float64)
+        if any(float(np.mean(np.abs(np.asarray(kept, np.float64) - vec)))
+               < min_dist for _, kept in merged):
+            continue
+        merged.append((r, rs))
+        if len(merged) >= k:
+            break
+    return merged
+
+
 class ChannelPrunedLearner(AbstractLearner):
     """Channel pruning learner with uniform / list / AMC-auto strategies."""
 
@@ -145,6 +164,8 @@ class ChannelPrunedLearner(AbstractLearner):
             self.helper_dst = DistillationHelper(model_helper)
         self.pruner: Optional[cp_lib.ChannelPruner] = None
         self.specs = None
+        # filled by search_ratios_rl: top-K distinct (reward, ratios) pairs
+        self.search_topk: List[tuple] = []
 
     # ------------------------------------------------------------------
 
@@ -345,14 +366,23 @@ class ChannelPrunedLearner(AbstractLearner):
         # test set (reference channel_pruning/learner.py:137-142 +
         # datasets/abstract_dataset.py:66-76)
         _, val_iter = self.dataset_train.build(enbl_trn_val_split=True)
+        # use the whole val split (cap 12 batches): the reward is the search
+        # signal AND the best-rollout selector, so estimator noise directly
+        # becomes winner's-curse bias on the final ratios
         nb_feval = max(1, min(
-            8, self.dataset_train.spec.nb_smpls_val // self.dataset_train.batch_size))
+            12, self.dataset_train.spec.nb_smpls_val // self.dataset_train.batch_size))
 
         # resume a preempted search from its latest checkpoint
         import os
         search_path = os.path.join(
             os.path.dirname(FLAGS.cp_best_path) or '.', 'ddpg_search.npz')
         best_reward, best_ratios, idx_beg = -np.inf, None, 0
+        # top-K (reward, ratios) candidates by fast-eval reward.  The fast
+        # reward is a <=12-batch val estimate (sigma ~0.015), so the argmax
+        # suffers winner's curse; callers that can afford K full finetunes
+        # (experiments/amc_vs_uniform.py --topk) re-rank these candidates by
+        # fully-finetuned VAL accuracy instead of trusting one noisy argmax.
+        top_candidates: List[tuple] = []
         if agent.restore_search(search_path):
             extras = agent.restored_extras
             idx_beg = int(extras.get('idx_rlout', -1)) + 1
@@ -360,6 +390,12 @@ class ChannelPrunedLearner(AbstractLearner):
             arr_best = extras.get('ratios_best')
             if arr_best is not None and np.size(arr_best) == len(self.specs):
                 best_ratios = [float(r) for r in arr_best]
+            rk = extras.get('rewards_topk')
+            rt = extras.get('ratios_topk')
+            if rk is not None and rt is not None \
+                    and np.ndim(rt) == 2 and np.shape(rt)[1] == len(self.specs):
+                top_candidates = [(float(r), [float(x) for x in row])
+                                  for r, row in zip(np.ravel(rk), rt)]
             self.log.info('resumed AMC ratio search from %s at rlout #%d',
                           search_path, idx_beg)
 
@@ -391,6 +427,8 @@ class ChannelPrunedLearner(AbstractLearner):
             agent.finalize_rlout(np.asarray([reward]))
             if reward > best_reward:
                 best_reward, best_ratios = reward, ratios
+            if np.isfinite(reward):
+                top_candidates = _merge_topk(top_candidates, reward, ratios)
             self.log.info(
                 'rlout #%d: reward=%.4f (best=%.4f) preserve=%.3f ratios=%s',
                 idx_rlout, reward, best_reward,
@@ -401,7 +439,12 @@ class ChannelPrunedLearner(AbstractLearner):
                     'idx_rlout': idx_rlout, 'reward_best': best_reward,
                     'ratios_best': np.asarray(
                         best_ratios if best_ratios is not None else ratios,
-                        np.float32)})
+                        np.float32),
+                    'rewards_topk': np.asarray(
+                        [r for r, _ in top_candidates], np.float32),
+                    'ratios_topk': np.asarray(
+                        [rs for _, rs in top_candidates], np.float32)})
+        self.search_topk = list(top_candidates)
         if best_ratios is None:
             # every reward was NaN/-inf (e.g. a degenerate bf16 blow-up), or
             # a resume landed past cp_nb_rlouts with an unusable restored
@@ -437,13 +480,22 @@ class ChannelPrunedLearner(AbstractLearner):
             ratios = self.search_ratios_rl(state)
         else:
             ratios = self._ratio_list()
+        state = self.prune_and_finetune(state, ratios)
+        self.run_eval_loop(state, self.build_eval_step())
+        return state
+
+    def prune_and_finetune(self, state: TrainState,
+                           ratios: List[float]) -> TrainState:
+        """Prune to the given per-layer preserve ratios, then global
+        fine-tune with masked grads (reference __finetune_pruned_model,
+        learner.py:313-379: constant cp_lrn_rate_ft).  With
+        --cp_finetune_schedule the full piecewise profile is replayed
+        compressed into the fine-tune window (what CPR does; measurably
+        better than the reference's constant LR).  Factored out of train()
+        so searches can fully finetune several candidate ratio vectors
+        (experiments/amc_vs_uniform.py --topk)."""
         state, masks = self.prune_with_ratios(state, ratios)
 
-        # global fine-tune with masked grads (reference __finetune_pruned_model,
-        # learner.py:313-379: constant cp_lrn_rate_ft).  With
-        # --cp_finetune_schedule the full piecewise profile is replayed
-        # compressed into the fine-tune window (what CPR does; measurably
-        # better than the reference's constant LR).
         import optax
         schedule, nb_iters = self.setup_lrn_rate(self.global_batch_size)
         nb_iters_ft = max(1, int(nb_iters * FLAGS.cp_nb_iters_ft_ratio))
@@ -473,7 +525,6 @@ class ChannelPrunedLearner(AbstractLearner):
             state, train_step, nb_iters=nb_iters_ft,
             save_path=FLAGS.cp_channel_pruned_path,
             eval_fn=lambda s: self.run_eval_loop(s, eval_step))
-        self.run_eval_loop(state, eval_step)
         return state
 
     def evaluate(self) -> Dict[str, float]:

@@ -126,6 +126,37 @@ def test_channel_pruned_amc_search(tmp_path):
         assert float(np.sum(flops * np.asarray(ratios))) \
             <= 0.5 * float(flops.sum()) + 1e-6
         assert os.path.exists(str(tmp_path / 'cp' / 'ddpg_search.npz'))
+        # top-K candidate contract (experiments/amc_vs_uniform.py --topk):
+        # candidates exist, rewards sorted desc, ratio vectors full-length,
+        # and the npz checkpoint round-trips them
+        assert 1 <= len(learner.search_topk) <= 5
+        rewards = [r for r, _ in learner.search_topk]
+        assert rewards == sorted(rewards, reverse=True)
+        assert all(len(rs) == len(learner.specs)
+                   for _, rs in learner.search_topk)
+        blob = np.load(str(tmp_path / 'cp' / 'ddpg_search.npz'),
+                       allow_pickle=True)
+        assert blob['x_rewards_topk'].shape[0] == len(learner.search_topk)
+        assert blob['x_ratios_topk'].shape == (
+            len(learner.search_topk), len(learner.specs))
+
+
+def test_merge_topk_dedupes_and_ranks():
+    from pocketflow_tpu.learners.channel_pruning.learner import _merge_topk
+    cands = []
+    cands = _merge_topk(cands, 0.5, [0.3, 0.3, 0.3])
+    cands = _merge_topk(cands, 0.7, [0.6, 0.6, 0.6])
+    # near-duplicate of the 0.7 candidate with a worse reward: dropped
+    cands = _merge_topk(cands, 0.6, [0.61, 0.6, 0.6])
+    assert [r for r, _ in cands] == [0.7, 0.5]
+    # near-duplicate with a BETTER reward replaces (kept; old one dropped)
+    cands = _merge_topk(cands, 0.8, [0.62, 0.6, 0.6])
+    assert [r for r, _ in cands] == [0.8, 0.5]
+    # capacity cap at k
+    for i in range(10):
+        cands = _merge_topk(cands, 0.9 + i * 0.001,
+                            [0.9 - 0.2 * i, 0.1, 0.1], k=3)
+    assert len(cands) == 3
 
 
 def test_patch_sampler_aligns_with_valid_padding_convs():

@@ -104,9 +104,12 @@ def test_ssd_end_to_end_smoke(tmp_path):
     """Tiny SSD on synthetic VOC: loss must decrease, mAP computable."""
     from pocketflow_tpu.learners.full_precision import FullPrecLearner
     from pocketflow_tpu.nets.vgg_at_pascalvoc import ModelHelper
+    # nb_iters_cls_wmup=1: the production cls-loss warm-up (10k iters) would
+    # zero out the cls gradient for this 12-step smoke window entirely
     with FLAGS.scope(batch_size=4, batch_size_eval=4, nb_smpls_train=128,
                      nb_smpls_eval=32, nb_epochs_rat=0.002, lrn_rate_init=0.01,
-                     voc_image_size=64, nb_bboxs_max=8, loss_w_dcy=0.0):
+                     voc_image_size=64, nb_bboxs_max=8, loss_w_dcy=0.0,
+                     nb_iters_cls_wmup=1):
         helper = ModelHelper()
         learner = FullPrecLearner(None, helper)
         state, tx, _ = learner.init_state()
