@@ -162,3 +162,12 @@ def test_checked_registry_is_live():
     assert 'detection_parity.json' in CHECKED
     import amc_vs_uniform
     assert amc_vs_uniform.check_results({}) != []
+    import roofline_probe
+    assert roofline_probe.check_results({}) != []
+    # internal-consistency branch: an elementwise chain "beating" the copy
+    # rate means broken traffic accounting, even with every floor passed
+    assert roofline_probe.check_results(
+        {**{k: 1e4 for k in roofline_probe.LOCKED_MIN},
+         'copy4d_gb_s': 500.0, 'fakequant_gb_s': 700.0}) != []
+    import conv1x1_ab
+    assert conv1x1_ab.check_results({}) != []
