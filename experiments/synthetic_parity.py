@@ -71,7 +71,7 @@ LOCKED_MAX_DELTA = {
                                   # r5 (VERDICT r4 #8: a bug costing 0.09
                                   # must not pass silently — discriminating
                                   # power re-proven by the wrong-k drill,
-                                  # results/parity_hard_bug.json)
+                                  # results/parity_hard_bug_channel.json)
     'channel@50%+sched': 0.12,    # measured -0.0278 (--cp_finetune_schedule
                                   # recovers the constant-lr gap entirely)
     'chn-pruned-rmt@50%': 0.06,   # measured -0.0195
