@@ -98,6 +98,18 @@ def check_results(results):
         violations.append('packed param fraction %.3f above %.2f — the '
                           'shrink export removed too few parameters'
                           % (packed, MAX_PACKED_PARAM_FRAC))
+    # the composition contract: the channel masks must survive the QAT
+    # finetune untouched (masked grads + post-update re-zero).  A lower
+    # after-QAT fraction means pruned channels regrew, i.e. the composed
+    # point silently stopped measuring the stacked pipeline.
+    frac_after = results.get('pruned_channel_frac_after_qat')
+    if frac_after is None:
+        violations.append('pruned_channel_frac_after_qat missing from results')
+    elif frac is not None and abs(frac_after - frac) > 1e-4:
+        violations.append(
+            'pruned channel fraction changed across the QAT finetune '
+            '(%.4f -> %.4f) — masks did not survive; the composed point is '
+            'not measuring the stacked pipeline' % (frac, frac_after))
     return violations
 
 

@@ -171,3 +171,11 @@ def test_checked_registry_is_live():
          'copy4d_gb_s': 500.0, 'fakequant_gb_s': 700.0}) != []
     import conv1x1_ab
     assert conv1x1_ab.check_results({}) != []
+    # composition contract: regrown pruned channels must be caught even when
+    # every accuracy band passes
+    import composed_cp_qat
+    healthy = json.load(open(os.path.join(RESULTS_DIR, 'composed_cp_qat.json')))
+    assert composed_cp_qat.check_results(healthy) == []
+    assert composed_cp_qat.check_results(
+        {**healthy, 'pruned_channel_frac_after_qat':
+         healthy['pruned_channel_frac'] - 0.1}) != []
