@@ -50,6 +50,7 @@ CHECKED = {
     'amc_vs_uniform.json': ('amc_vs_uniform', {}),
     'int8_serving_speed.json': ('int8_serving_speed', {}),
     'composed_cp_qat.json': ('composed_cp_qat', {}),
+    'composed_ws_qat.json': ('composed_ws_qat', {}),
     'roofline_probe.json': ('roofline_probe', {}),
     'conv1x1_ab.json': ('conv1x1_ab', {}),
 }
@@ -179,3 +180,14 @@ def test_checked_registry_is_live():
     assert composed_cp_qat.check_results(
         {**healthy, 'pruned_channel_frac_after_qat':
          healthy['pruned_channel_frac'] - 0.1}) != []
+    # same contract for the sparsity composition: regrown pruned weights
+    # must be caught even when every accuracy band passes
+    import composed_ws_qat
+    assert composed_ws_qat.check_results({}) != []
+    ws_path = os.path.join(RESULTS_DIR, 'composed_ws_qat.json')
+    if os.path.exists(ws_path):
+        healthy_ws = json.load(open(ws_path))
+        assert composed_ws_qat.check_results(healthy_ws) == []
+        assert composed_ws_qat.check_results(
+            {**healthy_ws, 'sparsity_frac_after_qat':
+             healthy_ws['sparsity_frac'] - 0.1}) != []
